@@ -1,0 +1,103 @@
+"""Radius outlier removal (replaces Open3D C++ `remove_radius_outlier`,
+used at reference `utils/depth_utils.py:41,87` and `object_memory.py:994`).
+
+TPU-native design: exact brute-force neighbor counting, tiled so the pairwise
+distance block rides the MXU as a (tile_r, 3) x (3, tile_c) matmul plus
+row/col norms — no KD-tree, no dynamic shapes. For the point counts this
+pipeline sees (hundreds to a few hundred thousand points) this is faster than
+any tree on TPU and exactly reproducible.
+
+Semantics: a point is kept when at least `nb_points` valid points (including
+itself) lie within `radius`. Open3D removes points "that have less than
+nb_points in a given sphere"; its radius search includes the query point, so
+this matches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_OUTLIER_REMOVAL_CONFIG = {
+    "radius_nb_points": 12,
+    "radius": 0.05,
+}
+
+
+def _pad_rows(arr: jax.Array, multiple: int, value=0):
+    n = arr.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr
+    pad_width = [(0, rem)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, pad_width, constant_values=value)
+
+
+@partial(jax.jit, static_argnames=("row_tile", "col_tile"))
+def radius_neighbor_counts(points: jax.Array,
+                           mask: jax.Array,
+                           radius,
+                           row_tile: int = 2048,
+                           col_tile: int = 65536) -> jax.Array:
+    """Number of valid points within `radius` of each point (self included).
+
+    points: (N, 3) float32; mask: (N,) bool. Returns (N,) int32.
+    Doubly tiled: rows via lax.map, columns via fori_loop, so peak memory is
+    O(row_tile * col_tile) regardless of N.
+    """
+    n = points.shape[0]
+    pts = _pad_rows(points.astype(jnp.float32), row_tile)
+    msk = _pad_rows(mask, row_tile)
+    np_pad = pts.shape[0]
+
+    pts_c = _pad_rows(pts, col_tile)
+    msk_c = _pad_rows(msk, col_tile)
+    nc = pts_c.shape[0]
+    num_col_tiles = nc // col_tile
+
+    r2 = jnp.float32(radius) ** 2
+    sq_c = jnp.sum(pts_c * pts_c, axis=-1)  # (nc,)
+
+    def row_block(inputs):
+        rows, rows_sq = inputs  # (row_tile, 3), (row_tile,)
+
+        def col_body(j, acc):
+            cols = jax.lax.dynamic_slice(pts_c, (j * col_tile, 0), (col_tile, 3))
+            cols_sq = jax.lax.dynamic_slice(sq_c, (j * col_tile,), (col_tile,))
+            cols_msk = jax.lax.dynamic_slice(msk_c, (j * col_tile,), (col_tile,))
+            from .distance import gram
+            d2 = (rows_sq[:, None] + cols_sq[None, :] - 2.0 * gram(rows, cols))
+            within = (d2 <= r2) & cols_msk[None, :]
+            return acc + jnp.sum(within.astype(jnp.int32), axis=1)
+
+        init = jnp.zeros((row_tile,), jnp.int32)
+        return jax.lax.fori_loop(0, num_col_tiles, col_body, init)
+
+    rows_all = pts.reshape(-1, row_tile, 3)
+    rows_sq_all = jnp.sum(pts * pts, axis=-1).reshape(-1, row_tile)
+    counts = jax.lax.map(row_block, (rows_all, rows_sq_all)).reshape(np_pad)
+    return counts[:n]
+
+
+def radius_outlier_keep_mask(points: jax.Array,
+                             mask: jax.Array,
+                             radius,
+                             nb_points,
+                             row_tile: int = 2048,
+                             col_tile: int = 65536) -> jax.Array:
+    """True for points that survive radius-outlier removal."""
+    counts = radius_neighbor_counts(points, mask, radius,
+                                    row_tile=row_tile, col_tile=col_tile)
+    return mask & (counts >= jnp.int32(nb_points))
+
+
+def remove_radius_outliers(cloud, radius=None, nb_points=None, config=None):
+    """PointCloud wrapper mirroring the reference call sites."""
+    from .pointcloud import PointCloud
+    if config is not None:
+        radius = config["radius"]
+        nb_points = config["radius_nb_points"]
+    keep = radius_outlier_keep_mask(cloud.points, cloud.mask, radius, nb_points)
+    return PointCloud(cloud.points, cloud.colors, cloud.mask & keep)
