@@ -1,0 +1,176 @@
+"""Procedural synthetic RGB-D scenes: the deterministic "tiny world" fixture.
+
+The reference ships an 8-view rendered fixture (`data/our-synthetic/
+360_basic_test`: rgb pngs + .npy depth + poses.json + focal length 300) used
+by `synth_object_memory_trial.py` as the zero-download end-to-end test world
+(SURVEY.md §4). We don't copy that data; we *render* an equivalent scene
+procedurally — axis-aligned colored boxes on a floor plane, ray-cast with the
+exact inverse of our centered-pixel backprojection, so
+`backproject(render(scene)) == scene geometry` by construction.
+
+Depth is the camera-frame z coordinate (matching the reference's Z = depth
+convention); background pixels get depth 0 (= invalid, dropped by the z != 0
+filter downstream).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Box:
+    center: np.ndarray      # (3,) world
+    size: np.ndarray        # (3,) full extents
+    color: np.ndarray       # (3,) in [0, 1]
+    name: str
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    boxes: list[Box]
+    floor_y: float = 0.0
+    floor_extent: float = 12.0     # floor spans [-e, e] x [-e, e] around origin
+    floor_color: tuple = (0.45, 0.42, 0.4)
+
+
+def default_scene(num_objects: int = 6, seed: int = 0) -> SyntheticScene:
+    """A deterministic room: `num_objects` colored boxes in a ring on a floor."""
+    rng = np.random.default_rng(seed)
+    names = ["chair", "lamp", "plant", "sofa", "shelf", "toy",
+             "vase", "bin", "stool", "crate", "barrel", "bench"]
+    boxes = []
+    for i in range(num_objects):
+        angle = 2 * np.pi * i / num_objects
+        radius = 2.0 + 0.5 * rng.uniform()
+        size = rng.uniform(0.4, 0.9, size=3)
+        center = np.array([
+            radius * np.cos(angle),
+            size[1] / 2.0,            # resting on the floor
+            radius * np.sin(angle),
+        ])
+        color = np.array([0.2, 0.2, 0.2]) + 0.8 * rng.uniform(size=3)
+        boxes.append(Box(center=center, size=size,
+                         color=np.clip(color, 0, 1), name=names[i % len(names)]))
+    return SyntheticScene(boxes=boxes)
+
+
+def look_at_pose(eye: np.ndarray, target: np.ndarray, up=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """7-vec pose [t, q_xyzw] whose rotation maps camera axes
+    (x right, y up, z forward) to world, looking from eye at target."""
+    from scipy.spatial.transform import Rotation
+    eye = np.asarray(eye, np.float64)
+    z = np.asarray(target, np.float64) - eye
+    z = z / np.linalg.norm(z)
+    up = np.asarray(up, np.float64)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    r = np.stack([x, y, z], axis=1)  # columns = camera axes in world
+    q = Rotation.from_matrix(r).as_quat()
+    return np.concatenate([eye, q]).astype(np.float32)
+
+
+def ring_poses(n_views: int = 8, radius: float = 5.5, height: float = 1.2,
+               target=(0.0, 0.5, 0.0)) -> list[np.ndarray]:
+    poses = []
+    for i in range(n_views):
+        a = 2 * np.pi * i / n_views
+        eye = np.array([radius * np.cos(a), height, radius * np.sin(a)])
+        poses.append(look_at_pose(eye, np.asarray(target)))
+    return poses
+
+
+def render_scene(scene: SyntheticScene, pose7: np.ndarray,
+                 height: int = 240, width: int = 320,
+                 focal_length: float = 300.0, far: float = 40.0
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ray-cast depth + RGB + instance-id images from `pose7`.
+
+    Returns (rgb uint8 (H,W,3), depth float32 (H,W), instance int32 (H,W))
+    where instance = -1 background/none, -2 floor, i >= 0 box index.
+    The ray through pixel (r, c) is the inverse of `ops.backprojection`:
+    dir_cam = (h_c / fx, v_r / fy, 1) with the centered linspace grid.
+    """
+    from scipy.spatial.transform import Rotation
+
+    fx = fy = float(focal_length)
+    horizontal = np.linspace(-width / 2, width / 2, width, dtype=np.float64)
+    vertical = np.linspace(height / 2, -height / 2, height, dtype=np.float64)
+    hh, vv = np.meshgrid(horizontal, vertical)  # (H, W)
+    dirs_cam = np.stack([hh / fx, vv / fy, np.ones_like(hh)], axis=-1)  # (H,W,3)
+
+    t = pose7[:3].astype(np.float64)
+    q = pose7[3:].astype(np.float64)
+    r = Rotation.from_quat(q / np.linalg.norm(q)).as_matrix()
+    dirs_world = dirs_cam @ r.T  # (H,W,3): world direction per unit camera z
+
+    best_z = np.full((height, width), np.inf)
+    inst = np.full((height, width), -1, np.int32)
+    rgb = np.zeros((height, width, 3), np.float64)
+
+    eps = 1e-12
+    d = np.where(np.abs(dirs_world) < eps, eps, dirs_world)
+
+    for i, box in enumerate(scene.boxes):
+        lo = box.center - box.size / 2.0
+        hi = box.center + box.size / 2.0
+        t1 = (lo[None, None, :] - t[None, None, :]) / d
+        t2 = (hi[None, None, :] - t[None, None, :]) / d
+        z_near = np.minimum(t1, t2).max(axis=-1)
+        z_far = np.maximum(t1, t2).min(axis=-1)
+        hit = (z_near <= z_far) & (z_near > 1e-6) & (z_near < best_z) & (z_near < far)
+        best_z = np.where(hit, z_near, best_z)
+        inst = np.where(hit, i, inst)
+        rgb = np.where(hit[..., None], box.color[None, None, :], rgb)
+
+    # floor plane y = floor_y, bounded extent
+    z_floor = (scene.floor_y - t[1]) / d[..., 1]
+    px = t[0] + z_floor * dirs_world[..., 0]
+    pz = t[2] + z_floor * dirs_world[..., 2]
+    e = scene.floor_extent
+    hit_floor = ((z_floor > 1e-6) & (z_floor < best_z) & (z_floor < far)
+                 & (np.abs(px) <= e) & (np.abs(pz) <= e))
+    best_z = np.where(hit_floor, z_floor, best_z)
+    inst = np.where(hit_floor, -2, inst)
+    rgb = np.where(hit_floor[..., None], np.asarray(scene.floor_color)[None, None, :], rgb)
+
+    depth = np.where(np.isfinite(best_z), best_z, 0.0).astype(np.float32)
+    rgb_u8 = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+    return rgb_u8, depth, inst
+
+
+def write_synth_dataset(out_dir: str, scene: SyntheticScene | None = None,
+                        n_views: int = 8, height: int = 240, width: int = 320,
+                        focal_length: float = 300.0) -> SyntheticScene:
+    """Write the reference synthetic dataset layout: rgb/*.png, depth/*.npy,
+    poses.json with euler-degree rotations (synthetic_dataloader.py:47-58)."""
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    if scene is None:
+        scene = default_scene()
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+
+    poses = ring_poses(n_views)
+    views = []
+    for i, pose in enumerate(poses):
+        rgb, depth, _ = render_scene(scene, pose, height, width, focal_length)
+        Image.fromarray(rgb).save(os.path.join(out_dir, "rgb", f"frame_{i}.png"))
+        np.save(os.path.join(out_dir, "depth", f"frame_{i}.npy"), depth)
+        euler = Rotation.from_quat(pose[3:]).as_euler("xyz", degrees=True)
+        views.append({
+            "name": "agent",
+            "position": {"x": float(pose[0]), "y": float(pose[1]), "z": float(pose[2])},
+            "rotation": {"x": float(euler[0]), "y": float(euler[1]), "z": float(euler[2])},
+        })
+    with open(os.path.join(out_dir, "poses.json"), "w") as f:
+        json.dump({"views": views}, f, indent=2)
+    with open(os.path.join(out_dir, "additional_information.txt"), "w") as f:
+        f.write(f"Focal Lenth = {focal_length:g}\n")
+    return scene

@@ -1,0 +1,85 @@
+"""Iterative Closest Point refinement, replacing Open3D C++
+`registration_colored_icp` / `registration_icp` / `evaluate_registration`
+(reference `utils/fpfh_register.py:132-150`).
+
+TPU-native design: a fixed-iteration `lax.scan` (Open3D's default criteria is
+30 iterations) where each step is
+
+    nearest-neighbor matmul -> masked (optionally color-weighted) Kabsch
+
+so the whole refinement compiles to one XLA program. The "colored" variant
+follows the *intent* of Open3D's colored ICP (color disambiguates sliding
+along geometrically-flat regions) by down-weighting correspondences with
+mismatched colors inside the weighted Kabsch solve, rather than solving the
+joint photometric-geometric Gauss-Newton system (documented deviation; the
+fitness/rmse semantics that drive assignment selection are identical).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .distance import masked_nearest
+from .kabsch import kabsch_transform, apply_transform
+
+DEFAULT_ICP_ITERS = 30
+COLOR_SIGMA = 0.25
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "use_colors"))
+def icp(src_pts: jax.Array, src_mask: jax.Array,
+        tgt_pts: jax.Array, tgt_mask: jax.Array,
+        max_correspondence_distance,
+        init_transform: jax.Array | None = None,
+        src_colors: jax.Array | None = None,
+        tgt_colors: jax.Array | None = None,
+        max_iterations: int = DEFAULT_ICP_ITERS,
+        use_colors: bool = False):
+    """Returns (T (4,4), fitness, inlier_rmse).
+
+    fitness / inlier_rmse follow Open3D semantics: computed over source points
+    whose nearest target neighbor lies within `max_correspondence_distance`
+    after the final transform; fitness = inliers / #valid source points.
+    """
+    thr2 = jnp.float32(max_correspondence_distance) ** 2
+    T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform
+
+    def step(T, _):
+        moved = apply_transform(src_pts, T)
+        nn_idx, nn_d2 = masked_nearest(moved, tgt_pts, tgt_mask)
+        inlier = src_mask & (nn_d2 <= thr2)
+        w = inlier.astype(jnp.float32)
+        if use_colors and src_colors is not None and tgt_colors is not None:
+            cd2 = jnp.sum((src_colors - tgt_colors[nn_idx]) ** 2, axis=-1)
+            w = w * jnp.exp(-cd2 / (2.0 * COLOR_SIGMA ** 2))
+        matched_tgt = tgt_pts[nn_idx]
+        # solve on ORIGINAL source points for the full transform directly
+        enough = jnp.sum(inlier) >= 3
+        T_new = kabsch_transform(src_pts, matched_tgt, weights=w)
+        T_new = jnp.where(enough, T_new, T)
+        return T_new, None
+
+    T, _ = jax.lax.scan(step, T0, None, length=max_iterations)
+
+    rmse, fitness = evaluate_transform_arrays(
+        src_pts, src_mask, tgt_pts, tgt_mask, T, max_correspondence_distance)
+    return T, fitness, rmse
+
+
+@jax.jit
+def evaluate_transform_arrays(src_pts, src_mask, tgt_pts, tgt_mask,
+                              transform, threshold):
+    """Open3D `evaluate_registration` (fpfh_register.py:145-150):
+    returns (inlier_rmse, fitness)."""
+    thr2 = jnp.float32(threshold) ** 2
+    moved = apply_transform(src_pts, transform)
+    _, nn_d2 = masked_nearest(moved, tgt_pts, tgt_mask)
+    inlier = src_mask & (nn_d2 <= thr2)
+    count = jnp.sum(inlier.astype(jnp.float32))
+    n_src = jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
+    rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, nn_d2, 0.0)) / jnp.maximum(count, 1.0))
+    fitness = count / n_src
+    return rmse, fitness

@@ -48,6 +48,9 @@ def radius_neighbor_counts(points: jax.Array,
     O(row_tile * col_tile) regardless of N.
     """
     n = points.shape[0]
+    # Clamp tiles for small clouds so padding doesn't dominate.
+    row_tile = min(row_tile, max(8, 1 << (n - 1).bit_length()))
+    col_tile = min(col_tile, max(128, 1 << (n - 1).bit_length()))
     pts = _pad_rows(points.astype(jnp.float32), row_tile)
     msk = _pad_rows(mask, row_tile)
     np_pad = pts.shape[0]

@@ -1,0 +1,101 @@
+"""The full coarse-to-fine registration pipeline, mirroring reference
+`utils/fpfh_register.py:86-150`:
+
+    register_point_clouds(source, target, voxel_size,
+                          global_dist_factor=1.5, local_dist_factor=0.4)
+      -> normals(2*voxel, nn30) -> FPFH(5*voxel, nn100)
+      -> feature-matching RANSAC (threshold = voxel*global_dist_factor)
+      -> colored-ICP refine     (threshold = voxel*local_dist_factor)
+      -> (transform, inlier_rmse, fitness)
+
+plus `evaluate_transform(source, target, T, threshold=0.02)`.
+
+Note the reference's `downsample_and_compute_fpfh` never actually voxel-
+downsamples despite its name (fpfh_register.py:88 deep-copies); we match that
+behavior — voxel_size only sets the search radii and thresholds.
+
+The whole pipeline is one jitted call per (source_cap, target_cap) shape
+bucket; clouds are padded to power-of-two capacities by the host wrapper.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pointcloud import PointCloud, round_up_pow2
+from .normals import estimate_normals
+from .fpfh import compute_fpfh
+from .ransac import feature_correspondences, ransac_registration
+from .icp import icp, evaluate_transform_arrays
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "icp_iterations"))
+def _register_impl(src_pts, src_cols, src_mask,
+                   tgt_pts, tgt_cols, tgt_mask,
+                   voxel_size, global_dist_factor, local_dist_factor,
+                   key,
+                   num_hypotheses: int = 4096,
+                   icp_iterations: int = 30):
+    radius_normal = voxel_size * 2.0
+    radius_feature = voxel_size * 5.0
+    distance_threshold = voxel_size * global_dist_factor
+
+    src_n = estimate_normals(src_pts, src_mask, radius_normal, max_nn=30)
+    tgt_n = estimate_normals(tgt_pts, tgt_mask, radius_normal, max_nn=30)
+    src_f = compute_fpfh(src_pts, src_n, src_mask, radius_feature, max_nn=100)
+    tgt_f = compute_fpfh(tgt_pts, tgt_n, tgt_mask, radius_feature, max_nn=100)
+
+    corr_idx, corr_valid = feature_correspondences(src_f, src_mask, tgt_f, tgt_mask,
+                                                   mutual=True)
+    T_ransac, _, _ = ransac_registration(
+        src_pts, src_mask, tgt_pts, corr_idx, corr_valid,
+        distance_threshold, key, num_hypotheses=num_hypotheses)
+
+    T, fitness, rmse = icp(
+        src_pts, src_mask, tgt_pts, tgt_mask,
+        voxel_size * local_dist_factor,
+        init_transform=T_ransac,
+        src_colors=src_cols, tgt_colors=tgt_cols,
+        max_iterations=icp_iterations, use_colors=True)
+    return T, rmse, fitness
+
+
+def register_point_clouds(source: PointCloud, target: PointCloud,
+                          voxel_size: float,
+                          global_dist_factor: float = 1.5,
+                          local_dist_factor: float = 0.4,
+                          seed: int = 0,
+                          num_hypotheses: int = 4096,
+                          icp_iterations: int = 30):
+    """Reference `register_point_clouds` (fpfh_register.py:100-143).
+    Returns (transform (4,4) np, inlier_rmse float, fitness float)."""
+    key = jax.random.PRNGKey(seed)
+    T, rmse, fitness = _register_impl(
+        source.points, source.colors, source.mask,
+        target.points, target.colors, target.mask,
+        jnp.float32(voxel_size), jnp.float32(global_dist_factor),
+        jnp.float32(local_dist_factor), key,
+        num_hypotheses=num_hypotheses, icp_iterations=icp_iterations)
+    return np.asarray(T), float(rmse), float(fitness)
+
+
+def evaluate_transform(source: PointCloud, target: PointCloud,
+                       trans_init, threshold: float = 0.02):
+    """Reference `evaluate_transform` (fpfh_register.py:145-150):
+    returns (inlier_rmse, fitness)."""
+    rmse, fitness = evaluate_transform_arrays(
+        source.points, source.mask, target.points, target.mask,
+        jnp.asarray(trans_init, jnp.float32), jnp.float32(threshold))
+    return float(rmse), float(fitness)
+
+
+def pad_for_registration(cloud: PointCloud, capacity: int | None = None) -> PointCloud:
+    """Host-side: compact + pad to a power-of-two capacity so repeated
+    registrations hit the jit cache."""
+    pts, cols = cloud.to_numpy()
+    cap = capacity or round_up_pow2(max(len(pts), 128))
+    return PointCloud.from_numpy(pts, cols, capacity=cap)

@@ -1,0 +1,131 @@
+"""Synthetic fixture renderer + unified dataloader tests.
+
+The key invariant: backprojecting a rendered depth image and transforming by
+the render pose must land points exactly on the scene geometry (the renderer
+is the inverse of ops.backprojection by construction)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from instance_based_loc_tpu.data.synthetic import (
+    default_scene, render_scene, ring_poses, write_synth_dataset)
+from instance_based_loc_tpu.data.loader import RGBDDataset, natsort_key
+from instance_based_loc_tpu.ops.backprojection import backproject
+from instance_based_loc_tpu.ops.transforms import transform_points
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return default_scene(num_objects=4, seed=0)
+
+
+def test_render_backproject_roundtrip(scene):
+    pose = ring_poses(8)[0]
+    rgb, depth, inst = render_scene(scene, pose, height=120, width=160,
+                                    focal_length=150.0)
+    assert (depth > 0).sum() > 1000  # scene actually visible
+
+    pts_cam, valid = backproject(jnp.asarray(depth), 150.0, 150.0)
+    pts_world = np.asarray(transform_points(pts_cam, jnp.asarray(pose)))
+
+    flat_inst = inst.reshape(-1)
+    for i, box in enumerate(scene.boxes):
+        sel = (flat_inst == i) & np.asarray(valid)
+        if sel.sum() == 0:
+            continue
+        p = pts_world[sel]
+        lo = box.center - box.size / 2 - 1e-3
+        hi = box.center + box.size / 2 + 1e-3
+        frac_inside = np.mean(np.all((p >= lo) & (p <= hi), axis=1))
+        assert frac_inside > 0.99, f"box {i}: only {frac_inside:.2%} on geometry"
+
+    floor_sel = (flat_inst == -2) & np.asarray(valid)
+    if floor_sel.sum():
+        y = pts_world[floor_sel][:, 1]
+        np.testing.assert_allclose(y, scene.floor_y, atol=1e-3)
+
+
+def test_instances_visible_from_all_ring_poses(scene):
+    for pose in ring_poses(4):
+        _, depth, inst = render_scene(scene, pose, height=96, width=128,
+                                      focal_length=120.0)
+        assert (inst >= 0).sum() > 50  # some object visible from every view
+
+
+def test_natsort_key():
+    files = ["frame_10.png", "frame_2.png", "frame_1.png"]
+    assert sorted(files, key=natsort_key) == ["frame_1.png", "frame_2.png", "frame_10.png"]
+
+
+def test_write_and_load_synth_dataset(tmp_path, scene):
+    out = str(tmp_path / "synthset")
+    write_synth_dataset(out, scene, n_views=4, height=96, width=128,
+                        focal_length=120.0)
+    assert os.path.exists(os.path.join(out, "poses.json"))
+
+    ds = RGBDDataset(out, evaluation_indices=[3], convention="synth",
+                     focal_length_x=120.0, focal_length_y=120.0,
+                     build_map=False)
+    assert ds.environment_indices == [0, 1, 2]
+    rgb_path, depth_path, pose = ds.get_image_data(0)
+    assert rgb_path.endswith(".png") and depth_path.endswith(".npy")
+    # poses survive the euler-degrees round trip
+    expected = ring_poses(4)[0]
+    np.testing.assert_allclose(pose[:3], expected[:3], atol=1e-5)
+    assert abs(np.dot(pose[3:], expected[3:])) > 1 - 1e-5
+
+
+def test_map_pointcloud_build_and_cache(tmp_path, scene):
+    out = str(tmp_path / "synthset")
+    write_synth_dataset(out, scene, n_views=3, height=64, width=96,
+                        focal_length=80.0)
+    cache = str(tmp_path / "map.npz")
+    # sparse low-res synthetic depth: the default radius-outlier config would
+    # wipe everything (pixel footprint > radius), so disable it for the map
+    ds = RGBDDataset(out, evaluation_indices=[], convention="synth",
+                     focal_length_x=80.0, focal_length_y=80.0,
+                     map_pointcloud_cache_path=cache, map_outlier_config=None)
+    pts, _ = ds.map_pointcloud.to_numpy()
+    assert len(pts) > 500
+    assert os.path.exists(cache)
+    # all points on floor or on a box (world-frame consistency across views)
+    on_floor = np.abs(pts[:, 1] - scene.floor_y) < 5e-3
+    on_box = np.zeros(len(pts), bool)
+    for box in scene.boxes:
+        lo = box.center - box.size / 2 - 5e-3
+        hi = box.center + box.size / 2 + 5e-3
+        on_box |= np.all((pts >= lo) & (pts <= hi), axis=1)
+    assert np.mean(on_floor | on_box) > 0.99
+
+    # cached load must reproduce the same cloud
+    ds2 = RGBDDataset(out, evaluation_indices=[], convention="synth",
+                      focal_length_x=80.0, focal_length_y=80.0,
+                      map_pointcloud_cache_path=cache, map_outlier_config=None)
+    pts2, _ = ds2.map_pointcloud.to_numpy()
+    np.testing.assert_allclose(np.sort(pts, axis=0), np.sort(pts2, axis=0), atol=1e-6)
+
+
+def test_tum_pose_parsing(tmp_path):
+    """TUM groundtruth parsing incl. the Kinect frame fix (tum_dataloader.py:56-78)."""
+    from scipy.spatial.transform import Rotation
+    os.makedirs(tmp_path / "rgb")
+    os.makedirs(tmp_path / "depth")
+    # one dummy frame pair (16-bit depth png + rgb png)
+    from PIL import Image
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / "rgb" / "0.png")
+    Image.fromarray(np.zeros((8, 8), np.uint16)).save(tmp_path / "depth" / "0.png")
+    q = Rotation.from_euler("xyz", [0.1, 0.2, 0.3]).as_quat()
+    with open(tmp_path / "groundtruth.txt", "w") as f:
+        f.write(f"1.0 2.0 3.0 {q[0]} {q[1]} {q[2]} {q[3]}\n")
+
+    ds = RGBDDataset(str(tmp_path), evaluation_indices=[], convention="tum",
+                     build_map=False, sampling_period=1)
+    pose = ds._poses[0]
+    np.testing.assert_allclose(pose[:3], [-1.0, -2.0, -3.0], atol=1e-6)
+    r2 = Rotation.from_euler("xyz", [0, np.pi, 0]).as_matrix()
+    expected_q = Rotation.from_matrix(Rotation.from_quat(q).as_matrix() @ r2).as_quat()
+    assert abs(np.dot(pose[3:], expected_q)) > 1 - 1e-6
+    assert ds.depth_factor == 5000.0
