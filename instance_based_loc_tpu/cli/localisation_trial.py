@@ -1,0 +1,171 @@
+"""Generic localisation trial (reference {tum,real,synth,8room}_localisation
+_trial.py folded into one script with a --convention flag; flags and the
+results.txt format are preserved).
+
+Example (synthetic fixture, weights-free):
+    python -m instance_based_loc_tpu.cli.localisation_trial \
+        --convention synth --data-path <dir> --embeddings color \
+        --detector color --focal-length 300 -e 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..data.loader import RGBDDataset
+from ..memory import ObjectMemory, ColorRegionDetector
+from ..models.embedders import get_embedder
+from ..utils.logging import get_mem_stats
+from ..utils.metrics import pose_errors, format_results_report, is_success
+
+
+def build_detector(args):
+    if args.detector == "color":
+        return ColorRegionDetector(min_area=args.min_region_area)
+    if args.detector == "cascade":
+        from ..models.cascade import build_cascade_detector
+        return build_cascade_detector()
+    raise ValueError(f"unknown detector {args.detector}")
+
+
+def main(args, detector=None):
+    embeddings_func = get_embedder(args.embeddings)
+    if detector is None:
+        detector = build_detector(args)
+
+    memory = ObjectMemory(
+        detector=detector,
+        camera_focal_lenth_x=args.focal_length_x,
+        camera_focal_lenth_y=args.focal_length_y,
+        get_embeddings_func=embeddings_func,
+        log_enabled=not args.quiet,
+    )
+
+    dataloader = RGBDDataset(
+        data_path=args.data_path,
+        evaluation_indices=args.eval_img_inds,
+        convention=args.convention,
+        focal_length_x=args.focal_length_x,
+        focal_length_y=args.focal_length_y,
+        map_pointcloud_cache_path=args.map_pcd_cache_path,
+        start_file_index=args.start_file_index,
+        last_file_index=args.last_file_index,
+        sampling_period=args.sampling_period,
+        build_map=args.build_map,
+    )
+    depth_factor = dataloader.depth_factor
+    kinect = dataloader.spec["kinect"]
+    # mm-scale sensors want the reference outlier config; coarse synthetic
+    # depth (point spacing > radius) must disable it or clouds get wiped
+    outlier_cfg = None if args.no_outlier_removal else {
+        "radius_nb_points": 12, "radius": 0.05}
+    localise_outlier_cfg = None if args.no_outlier_removal else {
+        "radius_nb_points": 8, "radius": 0.05}
+
+    if args.load_memory and args.memory_load_path:
+        memory.load(args.memory_load_path)
+    else:
+        for idx in dataloader.environment_indices:
+            rgb_path, depth_path, pose = dataloader.get_image_data(idx)
+            memory.process_image(rgb_path, depth_path, pose,
+                                 consider_floor=args.consider_floor,
+                                 depth_factor=depth_factor,
+                                 kinect_frame=kinect,
+                                 min_points=args.min_points,
+                                 outlier_removal_config=outlier_cfg)
+            mem_gb, dev_gb = get_mem_stats()
+            print(f"Using {mem_gb} GB of memory and {dev_gb} GB of device")
+
+        memory.downsample_all_objects(voxel_size=args.downsample_voxel_size)
+        if args.remove_floor:
+            memory.remove_points_below_floor()
+        memory.recluster_via_clustering_and_IoU(
+            embedding_distance_threshold=args.embedding_distance_threshold,
+            eps=args.dbscan_eps, min_points_per_cluster=args.dbscan_min_points,
+            IoU_threshold=args.iou_threshold)
+        print("\nMemory is")
+        print(memory)
+        if args.memory_save_path:
+            os.makedirs(os.path.dirname(os.path.abspath(args.memory_save_path)),
+                        exist_ok=True)
+            memory.save_to_pkl(args.memory_save_path)
+
+    trans_errors, rot_errors, assignments, preds, tgts = [], [], [], [], []
+    for idx in args.eval_img_inds:
+        rgb_path, depth_path, target_pose = dataloader.get_image_data(idx)
+        estimated_pose, assn = memory.localise(
+            rgb_path, depth_path,
+            testname=args.testname, subtest_name=str(idx),
+            save_point_clouds=args.save_point_clouds,
+            outlier_removal_config=localise_outlier_cfg,
+            fpfh_global_dist_factor=args.fpfh_global_dist_factor,
+            fpfh_local_dist_factor=args.fpfh_local_dist_factor,
+            fpfh_voxel_size=args.fpfh_voxel_size,
+            depth_factor=depth_factor)
+        te, re_ = pose_errors(target_pose, estimated_pose)
+        print(f"Localisation {idx}: trans={te:.3f} rot={re_:.3f} "
+              f"{'SUCCESS' if is_success(te, re_) else 'MISALIGNED'}")
+        trans_errors.append(te)
+        rot_errors.append(re_)
+        assignments.append(assn)
+        preds.append(estimated_pose.tolist())
+        tgts.append(np.asarray(target_pose).tolist())
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    report = format_results_report(trans_errors, rot_errors, assignments)
+    with open(os.path.join(args.out_dir, f"{args.testname}_results.txt"), "w") as f:
+        f.write(report)
+    print(report)
+    return trans_errors, rot_errors
+
+
+def make_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--convention", choices=["tum", "real", "synth", "8room", "hm3d"],
+                   default="synth")
+    p.add_argument("--data-path", type=str, required=True)
+    p.add_argument("-e", "--eval-img-inds", type=int, nargs="+", default=[4])
+    p.add_argument("--embeddings", type=str, default="dino",
+                   help="clip | dino | vit | dator | color | dummy")
+    p.add_argument("--detector", type=str, default="cascade",
+                   help="cascade (RAM+GroundingDINO+SAM) | color (weights-free)")
+    p.add_argument("--focal-length-x", "--focal-length", type=float, default=300.0,
+                   dest="focal_length_x")
+    p.add_argument("--focal-length-y", type=float, default=None)
+    p.add_argument("--map-pcd-cache-path", type=str, default=None)
+    p.add_argument("--build-map", action="store_true")
+    p.add_argument("--start-file-index", type=int, default=0)
+    p.add_argument("--last-file-index", type=int, default=None)
+    p.add_argument("--sampling-period", type=int, default=1)
+    p.add_argument("--testname", type=str, default="trial")
+    p.add_argument("--out-dir", type=str, default="./out")
+    p.add_argument("--load-memory", action="store_true")
+    p.add_argument("--memory-load-path", type=str, default=None)
+    p.add_argument("--memory-save-path", type=str, default=None)
+    p.add_argument("--save-point-clouds", action="store_true")
+    p.add_argument("--consider-floor", action="store_true")
+    p.add_argument("--remove-floor", action="store_true")
+    p.add_argument("--min-points", type=int, default=500)
+    p.add_argument("--min-region-area", type=int, default=120)
+    p.add_argument("--downsample-voxel-size", type=float, default=0.01)
+    p.add_argument("--embedding-distance-threshold", type=float, default=0.5)
+    p.add_argument("--dbscan-eps", type=float, default=0.05)
+    p.add_argument("--dbscan-min-points", type=int, default=50)
+    p.add_argument("--iou-threshold", type=float, default=0.25)
+    p.add_argument("--fpfh-global-dist-factor", type=float, default=2.0)
+    p.add_argument("--fpfh-local-dist-factor", type=float, default=0.4)
+    p.add_argument("--fpfh-voxel-size", type=float, default=0.05)
+    p.add_argument("--no-outlier-removal", action="store_true",
+                   help="disable radius outlier filtering (coarse synthetic depth)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+if __name__ == "__main__":
+    args = make_parser().parse_args()
+    if args.focal_length_y is None:
+        args.focal_length_y = args.focal_length_x
+    main(args)

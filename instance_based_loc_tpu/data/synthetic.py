@@ -28,6 +28,20 @@ class Box:
     size: np.ndarray        # (3,) full extents
     color: np.ndarray       # (3,) in [0, 1]
     name: str
+    yaw: float = 0.0        # rotation about +y (radians); 0 = axis-aligned
+    shape: str = "box"      # "box" | "sphere" (sphere uses size[0] as diameter)
+
+    def contains(self, pts: np.ndarray, tol: float = 1e-3) -> np.ndarray:
+        """Membership test for world points (used by tests)."""
+        local = (pts - self.center) @ _yaw_matrix(self.yaw)
+        if self.shape == "sphere":
+            return np.linalg.norm(local, axis=-1) <= self.size[0] / 2 + tol
+        return np.all(np.abs(local) <= self.size / 2 + tol, axis=-1)
+
+
+def _yaw_matrix(yaw: float) -> np.ndarray:
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
 
 
 @dataclasses.dataclass
@@ -48,14 +62,16 @@ def default_scene(num_objects: int = 6, seed: int = 0) -> SyntheticScene:
         angle = 2 * np.pi * i / num_objects
         radius = 2.0 + 0.5 * rng.uniform()
         size = rng.uniform(0.4, 0.9, size=3)
+        shape = "sphere" if i % 3 == 2 else "box"  # geometric variety helps
         center = np.array([
             radius * np.cos(angle),
-            size[1] / 2.0,            # resting on the floor
+            size[1 if shape == "box" else 0] / 2.0,  # resting on the floor
             radius * np.sin(angle),
         ])
         color = np.array([0.2, 0.2, 0.2]) + 0.8 * rng.uniform(size=3)
         boxes.append(Box(center=center, size=size,
-                         color=np.clip(color, 0, 1), name=names[i % len(names)]))
+                         color=np.clip(color, 0, 1), name=names[i % len(names)],
+                         yaw=float(rng.uniform(0, np.pi / 2)), shape=shape))
     return SyntheticScene(boxes=boxes)
 
 
@@ -117,13 +133,26 @@ def render_scene(scene: SyntheticScene, pose7: np.ndarray,
     d = np.where(np.abs(dirs_world) < eps, eps, dirs_world)
 
     for i, box in enumerate(scene.boxes):
-        lo = box.center - box.size / 2.0
-        hi = box.center + box.size / 2.0
-        t1 = (lo[None, None, :] - t[None, None, :]) / d
-        t2 = (hi[None, None, :] - t[None, None, :]) / d
-        z_near = np.minimum(t1, t2).max(axis=-1)
-        z_far = np.maximum(t1, t2).min(axis=-1)
-        hit = (z_near <= z_far) & (z_near > 1e-6) & (z_near < best_z) & (z_near < far)
+        ry = _yaw_matrix(box.yaw)
+        o_local = (t - box.center) @ ry                     # ray origin, box frame
+        d_local = dirs_world @ ry                            # (H, W, 3)
+        if box.shape == "sphere":
+            r2 = (box.size[0] / 2.0) ** 2
+            aa = np.sum(d_local * d_local, axis=-1)
+            bb = 2.0 * np.sum(d_local * o_local[None, None, :], axis=-1)
+            cc = np.sum(o_local * o_local) - r2
+            disc = bb * bb - 4 * aa * cc
+            sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+            z_near = (-bb - sqrt_disc) / np.maximum(2 * aa, eps)
+            hit = (disc > 0) & (z_near > 1e-6) & (z_near < best_z) & (z_near < far)
+        else:
+            dl = np.where(np.abs(d_local) < eps, eps, d_local)
+            half = box.size / 2.0
+            t1 = (-half[None, None, :] - o_local[None, None, :]) / dl
+            t2 = (half[None, None, :] - o_local[None, None, :]) / dl
+            z_near = np.minimum(t1, t2).max(axis=-1)
+            z_far = np.maximum(t1, t2).min(axis=-1)
+            hit = (z_near <= z_far) & (z_near > 1e-6) & (z_near < best_z) & (z_near < far)
         best_z = np.where(hit, z_near, best_z)
         inst = np.where(hit, i, inst)
         rgb = np.where(hit[..., None], box.color[None, None, :], rgb)

@@ -1,0 +1,69 @@
+"""DATOR as a localisation embedder — the `dator_wrapper` the reference
+*imports but never ships* (utils/embeddings.py:101-120 imports a missing
+module; the intended recipe lives in dator/get_embeds.py:80-159). This module
+closes that gap: load a trained FourDNet checkpoint, and embed (rgb crop,
+depth crop) pairs batched."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .fourdnet import FourDNet, FourDNetConfig
+from .data import preprocess_rgb, preprocess_depth
+
+MAX_CROPS = 16
+
+
+def build_dator_embedder(checkpoint_path: str | None = None,
+                         model_cfg: FourDNetConfig | None = None,
+                         height: int = 256, width: int = 128,
+                         max_crops: int = MAX_CROPS):
+    """Batched embed callable for ObjectMemory. The depth crop is taken from
+    the full depth image by the detection's bounding box, exactly as the
+    reference does (utils/embeddings.py:112-117)."""
+    cfg = model_cfg or FourDNetConfig()
+    model = FourDNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+    params = model.init({"params": rng, "dropout": rng}, dummy, dummy,
+                        training=False)
+    if checkpoint_path is not None:
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(checkpoint_path,
+                                     {"params": params})
+            params = restored["params"]
+
+    @jax.jit
+    def apply(rgb_batch, depth_batch):
+        _, feat = model.apply(params, rgb_batch, depth_batch, training=False)
+        return feat
+
+    def embed(detections, full_rgb_image=None, full_depth_image=None, **_):
+        n = len(detections)
+        if n == 0:
+            return np.zeros((0, cfg.reduced_dim), np.float32)
+        rgbs = np.zeros((max_crops, height, width, 3), np.float32)
+        depths = np.zeros((max_crops, height, width, 3), np.float32)
+        outs = []
+        full_depth = np.asarray(full_depth_image)
+        for start in range(0, n, max_crops):
+            idxs = range(start, min(start + max_crops, n))
+            rgbs[:] = 0
+            depths[:] = 0
+            for slot, i in enumerate(idxs):
+                crop = detections.crops[i]
+                x1, y1, x2, y2 = detections.boxes_xyxy[i].astype(int)
+                depth_crop = full_depth[max(y1, 0):max(y2, y1 + 1),
+                                        max(x1, 0):max(x2, x1 + 1)]
+                if depth_crop.size == 0:
+                    depth_crop = np.zeros((2, 2), np.float32)
+                rgbs[slot] = preprocess_rgb(crop, height, width)
+                depths[slot] = preprocess_depth(depth_crop, height, width)
+            feats = np.asarray(apply(jnp.asarray(rgbs), jnp.asarray(depths)))
+            outs.append(feats[: len(list(idxs))])
+        return np.concatenate(outs)[:n]
+
+    return embed

@@ -1,0 +1,191 @@
+"""FourDNet — the DATOR dual-tower RGB-D fusion ReID model, in flax
+(reference `dator/model/make_model.py:424-843`).
+
+Architecture (kept behaviorally equivalent):
+
+* two TransReID ViT towers in `local_feature` mode (RGB + depth), imagenet
+  weights frozen except the LoRA adapters (make_model.py:466-477);
+* global (cls) and local tokens projected 768 -> 128 and merged (:480-492);
+* four deformable-sampling fusion blocks r2r / d2d (self) and d2r / r2d
+  (cross): a sigmoid "selector" proposes m*k = 24 normalized sample
+  locations per token, a softmax head weights them, values are bilinearly
+  sampled from the 16x8 token map and summed, then FFN + residual + LayerNorm
+  (:503-567, forward :724-821);
+* a conv "hypernet" produces a per-patch 2-way softmax gate over modalities
+  (:583-593,703-714); cross contributions and the final sum are gated by it;
+* gated sum -> token mean -> 128-d embedding (+ linear classifier when
+  training) (:824-843);
+* random modality dropout p ~ U{0..4}: p in {0,2} zeroes RGB, p in {1,3}
+  zeroes depth, per sample, during training (:636-643).
+
+TPU-first: instead of the reference's manual 2-GPU model parallelism with
+explicit `.to()` hops (make_model.py:460-463), the two towers are STACKED
+along a leading tower axis and vmapped; sharding that axis over the mesh's
+"model" axis gives the same parallelism with zero code in the model (see
+parallel/sharding.py). grid_sample becomes a vectorized gather
+(`bilinear_sample`, align_corners=True semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .transreid_vit import TransReIDViT, TransReIDConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class FourDNetConfig:
+    backbone: TransReIDConfig = dataclasses.field(
+        default_factory=lambda: TransReIDConfig(local_feature=True))
+    reduced_dim: int = 128
+    num_classes: int = 100
+    deform_m: int = 8
+    deform_k: int = 3
+    modality_dropout: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def grid_hw(self) -> tuple[int, int]:
+        return self.backbone.num_y, self.backbone.num_x  # (16, 8) at 256x128/16
+
+
+def bilinear_sample(value_map: jax.Array, gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """torch.F.grid_sample(align_corners=True, padding_mode='zeros')
+    equivalent. value_map: (H, W, C); gx, gy in [-1, 1] of shape S...;
+    returns (S..., C). gx indexes width, gy height."""
+    h, w, _ = value_map.shape
+    x = (gx + 1.0) * 0.5 * (w - 1)
+    y = (gy + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1, y1 = x0 + 1, y0 + 1
+
+    def gather(yy, xx):
+        inside = (xx >= 0) & (xx <= w - 1) & (yy >= 0) & (yy <= h - 1)
+        xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        vals = value_map[yi, xi]
+        return vals * inside[..., None]
+
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    out = (gather(y0, x0) * (wx0 * wy0)[..., None]
+           + gather(y0, x1) * (wx1 * wy0)[..., None]
+           + gather(y1, x0) * (wx0 * wy1)[..., None]
+           + gather(y1, x1) * (wx1 * wy1)[..., None])
+    return out
+
+
+class DeformableFusionBlock(nn.Module):
+    """One selector/attention/sample/FFN unit (make_model.py:509-567)."""
+    cfg: FourDNetConfig
+
+    @nn.compact
+    def __call__(self, queries, value_tokens):
+        c = self.cfg
+        mk = c.deform_m * c.deform_k
+        sel = nn.Dense(2 * mk, dtype=c.dtype, name="selector")(queries)
+        sel = jax.nn.sigmoid(sel.astype(jnp.float32))
+        weights = nn.Dense(mk, dtype=c.dtype, name="attn_weights")(queries)
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
+        gx = sel[..., :mk] * 2.0 - 1.0          # (B, N, mk)
+        gy = sel[..., mk:] * 2.0 - 1.0
+
+        h, w = c.grid_hw
+        b, n, d = value_tokens.shape
+        vmap_hw = value_tokens.reshape(b, h, w, d)
+        sampled = jax.vmap(bilinear_sample)(vmap_hw, gx, gy)   # (B, N, mk, D)
+        feat = jnp.sum(sampled * weights[..., None], axis=-2)  # (B, N, D)
+        return nn.Dense(c.reduced_dim, dtype=c.dtype, name="ffn")(
+            feat.astype(c.dtype)).astype(jnp.float32)
+
+
+class FourDNet(nn.Module):
+    cfg: FourDNetConfig
+
+    @nn.compact
+    def __call__(self, rgb, depth, cam_ids=None, view_ids=None,
+                 training: bool = False):
+        """rgb/depth: (B, H, W, 3) preprocessed. Returns
+        (cls_scores (B, num_classes), embedding (B, reduced_dim))."""
+        c = self.cfg
+        b = rgb.shape[0]
+
+        if c.modality_dropout and training:
+            p = jax.random.randint(self.make_rng("dropout"), (b,), 0, 5)
+            rgb = jnp.where(((p == 0) | (p == 2))[:, None, None, None],
+                            jnp.zeros_like(rgb), rgb)
+            depth = jnp.where(((p == 1) | (p == 3))[:, None, None, None],
+                              jnp.zeros_like(depth), depth)
+
+        # the two towers, stacked on a leading "tower" axis for model-axis
+        # sharding (see module docstring)
+        tower = nn.vmap(
+            TransReIDViT,
+            in_axes=0, out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+        )(c.backbone, name="towers")
+        stacked_in = jnp.stack([rgb, depth], axis=0)  # (2, B, H, W, 3)
+        cam = None if cam_ids is None else jnp.stack([cam_ids, cam_ids])
+        view = None if view_ids is None else jnp.stack([view_ids, view_ids])
+        tokens = tower(stacked_in, cam, view)         # (2, B, 1+N, 768)
+        rgb_tokens, depth_tokens = tokens[0], tokens[1]
+
+        def project(tokens_, prefix):
+            glob = nn.Dense(c.reduced_dim, name=f"project_global_{prefix}")(tokens_[:, 0])
+            loc = nn.Dense(c.reduced_dim, name=f"project_local_{prefix}")(tokens_[:, 1:])
+            n = loc.shape[1]
+            merged = jnp.concatenate(
+                [jnp.broadcast_to(glob[:, None], (b, n, c.reduced_dim)), loc], axis=-1)
+            return nn.Dense(c.reduced_dim, name=f"merge_local_global_{prefix}")(merged)
+
+        rgb_path = project(rgb_tokens, "rgb")        # (B, N, 128)
+        depth_path = project(depth_tokens, "depth")
+
+        # hypernet gate (make_model.py:583-593,703-714)
+        h, w = c.grid_hw
+        spatial = jnp.concatenate(
+            [depth_path.reshape(b, h, w, c.reduced_dim),
+             rgb_path.reshape(b, h, w, c.reduced_dim)], axis=-1)
+        g = spatial
+        for width, name in [(128, "hyper1"), (32, "hyper2"), (8, "hyper3")]:
+            g = nn.Conv(width, (3, 3), padding="SAME", name=name)(g)
+            g = jax.nn.relu(g)
+        g = nn.Conv(2, (3, 3), padding="SAME", name="hyper4")(g)
+        filters = jax.nn.softmax(g, axis=-1)          # (B, 16, 8, 2)
+        rgb_filter = filters[..., 0].reshape(b, h * w)
+        depth_filter = filters[..., 1].reshape(b, h * w)
+
+        q_r = nn.Dense(c.reduced_dim, name="Q_r")(rgb_path)
+        v_r = nn.Dense(c.reduced_dim, name="V_r")(rgb_path)
+        q_d = nn.Dense(c.reduced_dim, name="Q_d")(depth_path)
+        v_d = nn.Dense(c.reduced_dim, name="V_d")(depth_path)
+
+        # self attention paths
+        r2r = DeformableFusionBlock(c, name="r2r")(q_r, v_r)
+        rgb_path = nn.LayerNorm(name="r2r_norm")(rgb_path + r2r)
+        d2d = DeformableFusionBlock(c, name="d2d")(q_d, v_d)
+        depth_path = nn.LayerNorm(name="d2d_norm")(depth_path + d2d)
+
+        # cross paths, gated by the hypernet filters (make_model.py:789-821)
+        d2r = DeformableFusionBlock(c, name="d2r")(q_d, v_r)
+        rgb_path = nn.LayerNorm(name="d2r_norm")(
+            rgb_path + d2r * rgb_filter[..., None])
+        r2d = DeformableFusionBlock(c, name="r2d")(q_r, v_d)
+        depth_path = nn.LayerNorm(name="r2d_norm")(
+            depth_path + r2d * depth_filter[..., None])
+
+        final = (depth_path * depth_filter[..., None]
+                 + rgb_path * rgb_filter[..., None])
+        embedding = jnp.mean(final, axis=-2)          # (B, 128)
+
+        cls_score = nn.Dense(c.num_classes, name="classifier")(embedding)
+        return cls_score, embedding

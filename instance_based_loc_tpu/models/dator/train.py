@@ -1,0 +1,194 @@
+"""DATOR training: pjit data-parallel (+ tower-model-parallel) train step,
+cosine LR with warmup, LoRA-only fine-tuning masks, orbax checkpointing.
+
+Reference: `dator/processor/processor_depth.py:23-284` (240 epochs, amp
+autocast, grad-clip 1000, ckpt every 20 epochs, eval every 5 epochs with
+zero-RGB / zero-depth / combined ablations), `dator/solver/` (SGD/Adam/AdamW,
+cosine schedule with warmup), `dator/train.py` (DDP init -> here one mesh).
+
+Improvements over the reference: optimizer state is checkpointed too (the
+reference only saves weights — SURVEY.md §5 'no optimizer-state resume'),
+and mixed precision is native bf16 rather than torch amp.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .fourdnet import FourDNet, FourDNetConfig
+from .losses import reid_loss
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    base_lr: float = 0.008          # config.yml SOLVER.BASE_LR
+    weight_decay: float = 1e-4
+    optimizer: str = "sgd"          # sgd | adam | adamw (solver/make_optimizer.py)
+    momentum: float = 0.9
+    epochs: int = 240               # scheduler_factory.py hard-codes 240
+    warmup_epochs: int = 5
+    steps_per_epoch: int = 100
+    grad_clip: float = 1000.0       # processor_depth.py:96
+    id_loss_weight: float = 1.0
+    triplet_weight: float = 1.0
+    label_smoothing: float = 0.0
+    lora_only: bool = True          # freeze towers except LoRA (make_model.py:466-477)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+
+def cosine_schedule(cfg: TrainConfig) -> optax.Schedule:
+    total = cfg.epochs * cfg.steps_per_epoch
+    warmup = cfg.warmup_epochs * cfg.steps_per_epoch
+    return optax.warmup_cosine_decay_schedule(
+        init_value=cfg.base_lr * 0.01, peak_value=cfg.base_lr,
+        warmup_steps=max(warmup, 1), decay_steps=max(total, 2))
+
+
+def _trainable_mask(params, lora_only: bool):
+    """True = trainable. When lora_only, only LoRA matrices inside the towers
+    train; the fusion/projection/classifier heads always train (they have no
+    pretrained weights — make_model.py freezes only the backbones)."""
+    def decide(path, _leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        in_towers = any("towers" in n for n in names)
+        is_lora = any("lora" in n for n in names)
+        if not in_towers:
+            return True
+        return (not lora_only) or is_lora
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
+    sched = cosine_schedule(cfg)
+    if cfg.optimizer == "sgd":
+        opt = optax.chain(optax.add_decayed_weights(cfg.weight_decay),
+                          optax.sgd(sched, momentum=cfg.momentum))
+    elif cfg.optimizer == "adam":
+        opt = optax.adam(sched)
+    elif cfg.optimizer == "adamw":
+        opt = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    else:
+        raise ValueError(cfg.optimizer)
+    mask = _trainable_mask(params, cfg.lora_only)
+    labels = jax.tree_util.tree_map(lambda m: "train" if m else "freeze", mask)
+    # NOTE: optax.masked would pass frozen-leaf updates through unchanged;
+    # multi_transform with set_to_zero actually freezes them.
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform({"train": opt, "freeze": optax.set_to_zero()},
+                              labels),
+    )
+
+
+def create_train_state(model_cfg: FourDNetConfig, train_cfg: TrainConfig,
+                       rng: jax.Array, height: int = 256, width: int = 128
+                       ) -> TrainState:
+    model = FourDNet(model_cfg)
+    dummy_rgb = jnp.zeros((2, height, width, 3), jnp.float32)
+    dummy_depth = jnp.zeros((2, height, width, 3), jnp.float32)
+    params = model.init({"params": rng, "dropout": rng},
+                        dummy_rgb, dummy_depth, training=False)
+    tx = make_optimizer(train_cfg, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params), tx=tx, apply_fn=model.apply)
+
+
+def train_step(state: TrainState, rgb, depth, labels, rng,
+               train_cfg: TrainConfig):
+    """One CE+triplet step. Pure function of (state, batch, rng) — jit/pjit it
+    with the shardings from `parallel.sharding.dator_shardings`."""
+
+    def loss_fn(params):
+        cls_score, feat = state.apply_fn(
+            params, rgb, depth, training=True, rngs={"dropout": rng})
+        total, aux = reid_loss(
+            cls_score, feat, labels,
+            id_weight=train_cfg.id_loss_weight,
+            triplet_weight=train_cfg.triplet_weight,
+            label_smoothing=train_cfg.label_smoothing)
+        acc = jnp.mean((jnp.argmax(cls_score, -1) == labels).astype(jnp.float32))
+        aux["acc"] = acc
+        return total, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              opt_state=new_opt)
+    metrics = dict(loss=loss, **aux)
+    return new_state, metrics
+
+
+def dator_param_pspec(params) -> Any:
+    """PartitionSpecs: the stacked tower axis shards over "model"
+    (the reference's 2-GPU model parallelism — make_model.py:460-463);
+    everything else replicates."""
+    def spec(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if any("towers" in n for n in names) and leaf.ndim >= 1 and leaf.shape[0] == 2:
+            return P("model", *([None] * (leaf.ndim - 1)))
+        return P()
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def make_pjit_train_step(mesh, state: TrainState, train_cfg: TrainConfig,
+                         batch_shape: tuple[int, int, int]):
+    """Compile the train step over the mesh: batch sharded on "data", tower
+    params sharded on "model"."""
+    param_spec = dator_param_pspec(state.params)
+    param_sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_spec)
+    data_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    state_sh = TrainState(
+        step=rep, params=param_sh,
+        opt_state=jax.tree_util.tree_map(
+            lambda _: rep, state.opt_state,
+            is_leaf=lambda x: isinstance(x, jnp.ndarray) or not isinstance(x, (tuple, list, dict))),
+        tx=state.tx, apply_fn=state.apply_fn)
+
+    step_fn = partial(train_step, train_cfg=train_cfg)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, data_sh, data_sh, data_sh, rep),
+        out_shardings=(state_sh, rep),
+        donate_argnums=(0,),
+    )
+
+
+# ----------------------------------------------------------------------- #
+# checkpointing (orbax) — covers weights AND optimizer state
+# ----------------------------------------------------------------------- #
+def save_checkpoint(state: TrainState, ckpt_dir: str, step: int):
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(f"{ckpt_dir}/step_{step}",
+                   {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}, force=True)
+
+
+def restore_checkpoint(state: TrainState, ckpt_dir: str, step: int) -> TrainState:
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        restored = ckptr.restore(f"{ckpt_dir}/step_{step}", target)
+    return state.replace(params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])

@@ -1,0 +1,116 @@
+"""Batched crop embedders on the flax ViT trunk (reference
+`utils/embeddings.py:31-98`: per-crop CLIP/DINOv2/ViT calls -> here ONE
+jitted batched apply per frame).
+
+Preprocessing reproduces what the reference's HF processors do:
+
+| variant | resize | normalize |
+|---|---|---|
+| vit    | 224x224 bilinear | mean .5, std .5 (ViTFeatureExtractor) |
+| dinov2 | shortest 256 -> center crop 224 | imagenet mean/std |
+| clip   | 224x224 bicubic | CLIP mean/std |
+
+Weights: `checkpoint_path` may point to a torch state_dict (.pt/.bin) or an
+.npz of ported params; without one the trunk is randomly initialized (still
+useful as a deterministic high-dimensional embedder, and the porting path is
+numerically verified in tests against HF torch models).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .vit import ViT, VARIANTS, ViTConfig
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+_NORMS = {
+    "vit": (np.array([0.5] * 3, np.float32), np.array([0.5] * 3, np.float32)),
+    "dinov2": (IMAGENET_MEAN, IMAGENET_STD),
+    "dino": (IMAGENET_MEAN, IMAGENET_STD),
+    "clip": (CLIP_MEAN, CLIP_STD),
+}
+
+MAX_CROPS = 16  # per-frame crop batch padding (jit cache friendliness)
+
+
+def preprocess_crop(crop: np.ndarray, variant: str, size: int = 224) -> np.ndarray:
+    """Host-side resize + normalize of one RGB crop -> (size, size, 3) f32."""
+    from PIL import Image
+    img = Image.fromarray(np.asarray(crop).astype(np.uint8))
+    if variant in ("dinov2", "dino"):
+        w, h = img.size
+        scale = 256 / min(w, h)
+        img = img.resize((max(1, round(w * scale)), max(1, round(h * scale))),
+                         Image.BILINEAR)
+        left = (img.size[0] - size) // 2
+        top = (img.size[1] - size) // 2
+        img = img.crop((left, top, left + size, top + size))
+    else:
+        resample = Image.BICUBIC if variant == "clip" else Image.BILINEAR
+        img = img.resize((size, size), resample)
+    arr = np.asarray(img, np.float32) / 255.0
+    mean, std = _NORMS["dinov2" if variant == "dino" else variant]
+    return (arr - mean) / std
+
+
+def load_params(model: ViT, cfg: ViTConfig, variant: str,
+                checkpoint_path: str | None, rng_seed: int = 0):
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(rng_seed), dummy)
+    if checkpoint_path is None:
+        return params
+    if checkpoint_path.endswith(".npz"):
+        import pickle
+        flat = np.load(checkpoint_path, allow_pickle=True)
+        return pickle.loads(flat["params"].tobytes())
+    # torch state dict
+    import torch
+    sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    from .vit import (port_hf_vit_params, port_hf_dinov2_params,
+                      port_hf_clip_vision_params)
+    porters = {"vit": port_hf_vit_params, "dino": port_hf_dinov2_params,
+               "dinov2": port_hf_dinov2_params, "clip": port_hf_clip_vision_params}
+    return porters[variant]({k: v.numpy() for k, v in sd.items()}, cfg)
+
+
+def build_vit_embedder(variant: str = "vit", checkpoint_path: str | None = None,
+                       l2_normalize: bool | None = None, max_crops: int = MAX_CROPS):
+    """Returns the batched embed callable used by ObjectMemory."""
+    key = "dinov2" if variant == "dino" else variant
+    cfg = VARIANTS[key]
+    model = ViT(cfg)
+    params = load_params(model, cfg, variant, checkpoint_path)
+    if l2_normalize is None:
+        l2_normalize = variant == "clip"  # reference normalizes CLIP only (:48)
+
+    @jax.jit
+    def apply(batch):
+        cls, _ = model.apply(params, batch)
+        if l2_normalize:
+            cls = cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12)
+        return cls
+
+    def embed(detections, full_rgb_image=None, **_):
+        crops = detections.crops
+        n = len(crops)
+        if n == 0:
+            return np.zeros((0, cfg.projection_dim or cfg.hidden_size), np.float32)
+        batch = np.zeros((max_crops, cfg.image_size, cfg.image_size, 3), np.float32)
+        outs = []
+        for start in range(0, n, max_crops):
+            chunk = crops[start:start + max_crops]
+            batch[:] = 0
+            for i, crop in enumerate(chunk):
+                batch[i] = preprocess_crop(crop, variant, cfg.image_size)
+            outs.append(np.asarray(apply(jnp.asarray(batch)))[: len(chunk)])
+        return np.concatenate(outs)[:n]
+
+    return embed

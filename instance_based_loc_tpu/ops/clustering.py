@@ -32,18 +32,28 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
-def dbscan(points: np.ndarray, eps: float, min_points: int) -> np.ndarray:
+def dbscan(points: np.ndarray, eps: float, min_points: int,
+           prefer_native: bool = True) -> np.ndarray:
     """Labels (N,) int: cluster id >= 0 or -1 for noise.
 
     Semantics match Open3D/sklearn: a point is core iff it has >= min_points
     neighbors within eps (self included); clusters = connected components of
     core points under the eps-graph; border points join any neighboring core's
     cluster; the rest are noise.
+
+    Large inputs route to the C++ grid implementation (native/geometry.cpp)
+    when the library is buildable; the numpy path below is the exact
+    reference implementation both are tested against.
     """
     points = np.asarray(points, np.float64)
     n = len(points)
     if n == 0:
         return np.zeros(0, np.int32)
+    if prefer_native and n > 20000:
+        from .native import dbscan_native
+        labels = dbscan_native(points, eps, min_points)
+        if labels is not None:
+            return labels
 
     cell = np.floor(points / eps).astype(np.int64)
     # order points by cell for contiguous bucket slices

@@ -83,6 +83,41 @@ def register_point_clouds(source: PointCloud, target: PointCloud,
     return np.asarray(T), float(rmse), float(fitness)
 
 
+@partial(jax.jit, static_argnames=("icp_iterations",))
+def _refine_impl(src_pts, src_cols, src_mask, tgt_pts, tgt_cols, tgt_mask,
+                 init_T, coarse_dist, fine_dist, icp_iterations: int = 30):
+    """Multi-scale ICP from a given init: coarse correspondence distance to
+    pull into the basin, then fine distance to polish."""
+    T, _, _ = icp(src_pts, src_mask, tgt_pts, tgt_mask, coarse_dist,
+                  init_transform=init_T, src_colors=src_cols, tgt_colors=tgt_cols,
+                  max_iterations=icp_iterations, use_colors=True)
+    T, fitness, rmse = icp(src_pts, src_mask, tgt_pts, tgt_mask, fine_dist,
+                           init_transform=T, src_colors=src_cols,
+                           tgt_colors=tgt_cols,
+                           max_iterations=icp_iterations, use_colors=True)
+    return T, rmse, fitness
+
+
+def refine_registration(source: PointCloud, target: PointCloud,
+                        init_transform, voxel_size: float,
+                        local_dist_factor: float = 0.4,
+                        coarse_factor: float = 4.0,
+                        icp_iterations: int = 30):
+    """ICP-only registration from an external coarse init (e.g. the
+    assignment-centroid Kabsch init used by ObjectMemory.localise — a
+    correspondence-free coarse alignment the FPFH path can't provide on
+    feature-poor geometry). Returns (transform, inlier_rmse, fitness) with
+    fitness/rmse at voxel_size * local_dist_factor, like register_point_clouds."""
+    T, rmse, fitness = _refine_impl(
+        source.points, source.colors, source.mask,
+        target.points, target.colors, target.mask,
+        jnp.asarray(init_transform, jnp.float32),
+        jnp.float32(voxel_size * coarse_factor),
+        jnp.float32(voxel_size * local_dist_factor),
+        icp_iterations=icp_iterations)
+    return np.asarray(T), float(rmse), float(fitness)
+
+
 def evaluate_transform(source: PointCloud, target: PointCloud,
                        trans_init, threshold: float = 0.02):
     """Reference `evaluate_transform` (fpfh_register.py:145-150):

@@ -36,10 +36,7 @@ def test_render_backproject_roundtrip(scene):
         sel = (flat_inst == i) & np.asarray(valid)
         if sel.sum() == 0:
             continue
-        p = pts_world[sel]
-        lo = box.center - box.size / 2 - 1e-3
-        hi = box.center + box.size / 2 + 1e-3
-        frac_inside = np.mean(np.all((p >= lo) & (p <= hi), axis=1))
+        frac_inside = np.mean(box.contains(pts_world[sel], tol=2e-3))
         assert frac_inside > 0.99, f"box {i}: only {frac_inside:.2%} on geometry"
 
     floor_sel = (flat_inst == -2) & np.asarray(valid)
@@ -95,9 +92,7 @@ def test_map_pointcloud_build_and_cache(tmp_path, scene):
     on_floor = np.abs(pts[:, 1] - scene.floor_y) < 5e-3
     on_box = np.zeros(len(pts), bool)
     for box in scene.boxes:
-        lo = box.center - box.size / 2 - 5e-3
-        hi = box.center + box.size / 2 + 5e-3
-        on_box |= np.all((pts >= lo) & (pts <= hi), axis=1)
+        on_box |= box.contains(pts, tol=5e-3)
     assert np.mean(on_floor | on_box) > 0.99
 
     # cached load must reproduce the same cloud

@@ -1,0 +1,133 @@
+"""Stage-6 milestone: the minimum end-to-end slice (SURVEY.md §7.6) —
+synthetic scene -> memory build (detect/embed/backproject/transform) ->
+consolidation -> localisation of a held-out view, with weights-free
+detector/embedder (the reference's dummy-embedder pattern,
+synth_object_memory_trial.py)."""
+
+import numpy as np
+import pytest
+
+from instance_based_loc_tpu.data.synthetic import (
+    default_scene, render_scene, ring_poses)
+from instance_based_loc_tpu.memory import ObjectMemory, ColorRegionDetector
+from instance_based_loc_tpu.models.embedders import get_embedder
+from instance_based_loc_tpu.ops.transforms import quaternion_error
+import jax.numpy as jnp
+
+FOCAL = 200.0
+H, W = 160, 220
+
+
+@pytest.fixture(scope="module")
+def world():
+    scene = default_scene(num_objects=5, seed=3)
+    poses = ring_poses(7, radius=4.5, height=1.3, target=(0, 0.4, 0))
+    frames = [render_scene(scene, p, H, W, FOCAL) for p in poses]
+    return scene, poses, frames
+
+
+@pytest.fixture(scope="module")
+def built_memory(world):
+    scene, poses, frames = world
+    detector = ColorRegionDetector(min_area=80,
+                                   floor_colors=[scene.floor_color])
+    memory = ObjectMemory(
+        detector=detector,
+        camera_focal_lenth_x=FOCAL,
+        camera_focal_lenth_y=FOCAL,
+        get_embeddings_func=get_embedder("color"),
+        log_enabled=False,
+    )
+    for i in range(len(poses) - 1):  # last view held out for localisation
+        rgb, depth, _ = frames[i]
+        memory.process_image(rgb, depth, poses[i], consider_floor=True,
+                             min_points=200, outlier_removal_config=None)
+    return scene, poses, frames, memory
+
+
+def test_memory_build_finds_objects(built_memory):
+    scene, poses, frames, memory = built_memory
+    assert len(memory.memory) > len(scene.boxes)  # multiple views, pre-cluster
+    assert memory.floors is not None              # floor routed separately
+
+
+def test_memory_objects_on_geometry(built_memory):
+    scene, poses, frames, memory = built_memory
+    for obj in memory.memory:
+        pts = obj.points()
+        on_box = np.zeros(len(pts), bool)
+        for box in scene.boxes:
+            on_box |= box.contains(pts, tol=2e-2)
+        assert on_box.mean() > 0.95
+
+
+def test_recluster_consolidates_to_object_count(built_memory):
+    scene, poses, frames, memory = built_memory
+    import copy
+    mem = copy.deepcopy(memory)
+    mem.downsample_all_objects(voxel_size=0.02)
+    mem.recluster_objects_with_dbscan(eps=0.1, min_points_per_cluster=40)
+    # 5 boxes in the scene; dbscan over world points should merge views
+    assert len(mem.memory) == len(scene.boxes)
+    # each cluster sits on exactly one box
+    for obj in mem.memory:
+        centroid = obj.centroid
+        dists = [np.linalg.norm(centroid - b.center) for b in scene.boxes]
+        assert min(dists) < 0.5
+
+
+def test_embedding_reclustering_path(built_memory):
+    scene, poses, frames, memory = built_memory
+    import copy
+    mem = copy.deepcopy(memory)
+    mem.downsample_all_objects(voxel_size=0.02)
+    mem.recluster_via_clustering_and_IoU(embedding_distance_threshold=0.4,
+                                         eps=0.1, min_points_per_cluster=40,
+                                         IoU_threshold=0.25)
+    assert 1 <= len(mem.memory) <= len(scene.boxes) + 2
+
+
+def test_save_load_roundtrip(built_memory, tmp_path):
+    scene, poses, frames, memory = built_memory
+    path = str(tmp_path / "mem.pkl")
+    memory.save_to_pkl(path)
+    detector = ColorRegionDetector(min_area=80)
+    fresh = ObjectMemory(detector=detector, camera_focal_lenth_x=FOCAL,
+                         camera_focal_lenth_y=FOCAL,
+                         get_embeddings_func=get_embedder("color"),
+                         log_enabled=False)
+    fresh.load(path)
+    assert len(fresh.memory) == len(memory.memory)
+    np.testing.assert_allclose(fresh.memory[0].mean_emb, memory.memory[0].mean_emb)
+    np.testing.assert_allclose(fresh.memory[0].points(), memory.memory[0].points(),
+                               atol=1e-6)
+
+    # dir-tree save also works
+    memory.save(str(tmp_path / "memdir"))
+    import os
+    assert os.path.exists(tmp_path / "memdir" / "memory.txt")
+    assert os.path.exists(tmp_path / "memdir" / "combined_pointcloud.ply")
+
+
+def test_localise_held_out_view(built_memory):
+    """The end-to-end check: localising the held-out view recovers its pose
+    within the reference's success thresholds (trans < 0.6 m, rot < 0.3 rad —
+    tum_localisation_trial.py:274)."""
+    scene, poses, frames, memory = built_memory
+    import copy
+    mem = copy.deepcopy(memory)
+    mem.downsample_all_objects(voxel_size=0.02)
+    mem.recluster_objects_with_dbscan(eps=0.1, min_points_per_cluster=40)
+
+    eval_idx = len(poses) - 1
+    rgb, depth, _ = frames[eval_idx]
+    true_pose = poses[eval_idx]
+
+    est_pose, (assn, _) = mem.localise(rgb, depth, outlier_removal_config=None)
+
+    trans_err = np.linalg.norm(est_pose[:3] - true_pose[:3])
+    rot_err = float(quaternion_error(jnp.asarray(true_pose[3:]),
+                                     jnp.asarray(est_pose[3:])))
+    print(f"trans_err={trans_err:.3f} rot_err={rot_err:.3f} assn={assn}")
+    assert trans_err < 0.6, f"translation error {trans_err:.3f}"
+    assert rot_err < 0.3, f"rotation error {rot_err:.3f}"
