@@ -1,0 +1,135 @@
+"""DATOR training entry point (reference `dator/train.py` +
+`processor/processor_depth.py:do_train_4DNet`).
+
+    python -m instance_based_loc_tpu.cli.dator_train \
+        --config cfg.yml data.root=/path/to/reid train.epochs=240
+
+The reference's DDP init (train.py:64-66) becomes one jax mesh; its manual
+2-GPU tower split becomes the mesh "model" axis (n_model_shards=2). Eval every
+`eval.period` epochs runs the reference's three ablations — zero-RGB,
+zero-depth, combined — each reporting CMC Rank-1/5/10 + mAP
+(processor_depth.py:132-250). Checkpoints (params AND optimizer state) go to
+orbax every `eval.checkpoint_period` epochs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def evaluate(state, sampler, samples, cfg, ablation: str = "both"):
+    """R1/mAP eval with modality ablations (processor_depth.py:132-250)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models.dator.metrics import cosine_distmat, cmc_map, k_reciprocal_rerank
+
+    feats, pids = [], []
+    bs = cfg.data.batch_size
+    idxs = list(range(len(samples)))
+    for start in range(0, len(idxs), bs):
+        chunk = idxs[start:start + bs]
+        rgb, depth, pid = sampler.load_batch(chunk, cfg.data.height, cfg.data.width)
+        if ablation == "zero_rgb":
+            rgb = np.zeros_like(rgb)
+        elif ablation == "zero_depth":
+            depth = np.zeros_like(depth)
+        _, feat = state.apply_fn(state.params, jnp.asarray(rgb),
+                                 jnp.asarray(depth), training=False)
+        feats.append(np.asarray(feat))
+        pids.append(pid)
+    feats = np.concatenate(feats)
+    pids = np.concatenate(pids)
+    # query = first sample of each pid; gallery = the rest
+    q_idx, g_idx = [], []
+    seen = set()
+    for i, p in enumerate(pids):
+        (q_idx if p not in seen else g_idx).append(i)
+        seen.add(int(p))
+    if not g_idx:
+        return {}
+    if cfg.eval.re_ranking:
+        dist = k_reciprocal_rerank(feats[q_idx], feats[g_idx])
+    else:
+        dist = cosine_distmat(feats[q_idx], feats[g_idx])
+    cmc, mAP = cmc_map(dist, pids[q_idx], pids[g_idx],
+                       max_rank=min(cfg.eval.max_rank, len(g_idx)))
+    return {"rank1": float(cmc[0]),
+            "rank5": float(cmc[min(4, len(cmc) - 1)]),
+            "rank10": float(cmc[min(9, len(cmc) - 1)]),
+            "mAP": mAP}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("opts", nargs="*", help="dotted overrides a.b=c")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..config import load_config
+    from ..parallel.mesh import make_mesh, shard_batch
+    from ..models.dator.data import PKSampler, scan_instance_dirs
+    from ..models.dator.train import (create_train_state, make_pjit_train_step,
+                                      save_checkpoint)
+
+    cfg = load_config(args.config, args.opts)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+
+    samples = scan_instance_dirs(cfg.data.root)
+    num_classes = len({s.pid for s in samples})
+    print(f"ReID dataset: {len(samples)} samples / {num_classes} identities")
+    import dataclasses
+    model_cfg = dataclasses.replace(cfg.model, num_classes=num_classes)
+
+    sampler = PKSampler(samples, cfg.data.batch_size, cfg.data.num_instances,
+                        seed=cfg.data.seed)
+
+    mesh = make_mesh(n_model=cfg.n_model_shards)
+    print(f"mesh: {mesh.shape}")
+
+    state = create_train_state(model_cfg, cfg.train, jax.random.PRNGKey(0),
+                               cfg.data.height, cfg.data.width)
+    step_fn = make_pjit_train_step(mesh, state, cfg.train,
+                                   (cfg.data.batch_size, cfg.data.height,
+                                    cfg.data.width))
+
+    with mesh:
+        for epoch in range(cfg.train.epochs):
+            t0 = time.time()
+            batches = sampler.epoch_batches(epoch)
+            losses = []
+            for bi, batch_idxs in enumerate(batches):
+                rgb, depth, pids = sampler.load_batch(
+                    batch_idxs, cfg.data.height, cfg.data.width)
+                rgb_s, depth_s, pids_s = shard_batch(
+                    mesh, (jnp.asarray(rgb), jnp.asarray(depth),
+                           jnp.asarray(pids)))
+                state, metrics = step_fn(state, rgb_s, depth_s, pids_s,
+                                         jax.random.fold_in(
+                                             jax.random.PRNGKey(1),
+                                             epoch * 10000 + bi))
+                losses.append(float(metrics["loss"]))
+            dt = time.time() - t0
+            sps = len(batches) * cfg.data.batch_size / max(dt, 1e-9)
+            print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+                  f"({dt:.1f}s, {sps:.1f} samples/s)")
+
+            if (epoch + 1) % cfg.eval.period == 0:
+                for ablation in ("zero_rgb", "zero_depth", "both"):
+                    m = evaluate(state, sampler, samples, cfg, ablation)
+                    print(f"  eval[{ablation}]: " +
+                          " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+            if (epoch + 1) % cfg.eval.checkpoint_period == 0:
+                save_checkpoint(state, os.path.abspath(cfg.output_dir), epoch + 1)
+                print(f"  checkpoint @ epoch {epoch + 1}")
+    save_checkpoint(state, os.path.abspath(cfg.output_dir), cfg.train.epochs)
+    return state
+
+
+if __name__ == "__main__":
+    main()

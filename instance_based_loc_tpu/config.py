@@ -1,0 +1,88 @@
+"""One dataclass config tree for the whole framework.
+
+Replaces the reference's dual config system (argparse trial flags +
+yacs CfgNode YAML for DATOR — SURVEY.md §5 "Config / flag system") with a
+single nested-dataclass tree that merges, in order:
+
+    defaults -> YAML file -> dotted CLI overrides ("a.b.c=value")
+
+mirroring the yacs `merge_from_file` / `merge_from_list` workflow
+(dator/train.py:46-49) without the yacs dependency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from .models.dator.transreid_vit import TransReIDConfig
+from .models.dator.fourdnet import FourDNetConfig
+from .models.dator.train import TrainConfig
+
+
+@dataclasses.dataclass
+class DataConfig:
+    root: str = "./data/reid"
+    height: int = 256
+    width: int = 128
+    batch_size: int = 64           # config.yml SOLVER.IMS_PER_BATCH
+    num_instances: int = 4         # DATALOADER.NUM_INSTANCE (P x K)
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    period: int = 5                # eval every N epochs (processor_depth.py:132)
+    checkpoint_period: int = 20    # ckpt every N epochs (:119)
+    re_ranking: bool = False       # TEST.RE_RANKING
+    max_rank: int = 50
+
+
+@dataclasses.dataclass
+class DatorConfig:
+    model: FourDNetConfig = dataclasses.field(default_factory=FourDNetConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    output_dir: str = "./out/dator"
+    n_model_shards: int = 1        # mesh "model" axis (2 = reference 2-GPU split)
+
+
+def _merge_into(obj: Any, updates: dict) -> Any:
+    """Recursively apply a dict onto a (possibly frozen) dataclass tree."""
+    if not dataclasses.is_dataclass(obj):
+        return updates
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    kwargs = {}
+    for key, value in updates.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key '{key}' for {type(obj).__name__}")
+        current = getattr(obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _merge_into(current, value)
+        else:
+            kwargs[key] = type(current)(value) if current is not None else value
+    return dataclasses.replace(obj, **kwargs)
+
+
+def load_config(yaml_path: str | None = None,
+                overrides: list[str] | None = None) -> DatorConfig:
+    """defaults -> YAML -> dotted overrides (e.g. 'train.base_lr=0.01')."""
+    cfg = DatorConfig()
+    if yaml_path:
+        import yaml
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = _merge_into(cfg, data)
+    for item in overrides or []:
+        key, _, raw = item.partition("=")
+        parts = key.strip().split(".")
+        tree: dict = {}
+        node = tree
+        for p in parts[:-1]:
+            node[p] = {}
+            node = node[p]
+        import yaml
+        node[parts[-1]] = yaml.safe_load(raw)
+        cfg = _merge_into(cfg, tree)
+    return cfg

@@ -35,12 +35,19 @@ class ObjectInfo:
         return (f"ObjectInfo == ID: {self.id}, Names: {self.names}, "
                 f"Mean_Emb: {self.mean_emb.shape}, Num. Points: {self.num_points()}")
 
+    def _numpy_cloud(self):
+        """Cached host copy — localise touches every memory object per query
+        and a device->host fetch costs ~30 ms of tunnel latency each."""
+        if getattr(self, "_np_src", None) is not self.cloud:
+            self._np_cache = self.cloud.to_numpy()
+            self._np_src = self.cloud
+        return self._np_cache
+
     def num_points(self) -> int:
-        return int(np.asarray(self.cloud.mask).sum())
+        return len(self._numpy_cloud()[0])
 
     def points(self) -> np.ndarray:
-        pts, _ = self.cloud.to_numpy()
-        return pts
+        return self._numpy_cloud()[0]
 
     # ------------------------------------------------------------------ #
     def _add_name(self, new_name: str):

@@ -33,8 +33,9 @@ from ..ops.transforms import transform_pointcloud, rotmat_to_quat_xyzw
 from ..ops.outliers import DEFAULT_OUTLIER_REMOVAL_CONFIG, radius_outlier_keep_mask
 from ..ops.voxel import voxel_downsample
 from ..ops.iou3d import pairwise_obb_iou
-from ..ops.kabsch import kabsch_transform
+from ..ops.kabsch import kabsch_transform, kabsch_numpy
 from ..ops.registration import (register_point_clouds, refine_registration,
+                                register_assignments_batched,
                                 evaluate_transform)
 from ..ops.assignment import SimVolume
 from ..ops.clustering import dbscan, agglomerative_precomputed
@@ -45,8 +46,8 @@ from .detection import Detections
 
 
 LOCALISE_OUTLIER_CONFIG = {"radius_nb_points": 8, "radius": 0.05}  # object_memory.py:880-884
-REGISTRATION_CAPACITY = 4096     # per-side point budget for assignment registration
-EVAL_CAPACITY = 8192             # budget for full-memory evaluate_transform
+REGISTRATION_CAPACITY = 2048     # per-side point budget for assignment registration
+EVAL_CAPACITY = 4096             # budget for full-memory evaluate_transform
 
 
 def _subsample_points(pts: np.ndarray, cols: np.ndarray, cap: int, seed: int = 0):
@@ -115,6 +116,20 @@ class ObjectMemory:
                  else self.load_depth_image_func(depth_image_path))
         return rgb, np.asarray(depth, np.float32) / depth_factor
 
+    @staticmethod
+    def _pad_masks(masks: np.ndarray) -> np.ndarray:
+        """Pad the detection axis to a power-of-two bucket: every distinct
+        detection count otherwise triggers a fresh XLA compile of the whole
+        backprojection kernel (tens of seconds through a remote-compile
+        tunnel). Padded rows are all-False masks that yield empty clouds and
+        are dropped downstream."""
+        m = len(masks)
+        bucket = max(4, 1 << (m - 1).bit_length())
+        if bucket == m:
+            return np.asarray(masks)
+        pad = np.zeros((bucket - m,) + masks.shape[1:], masks.dtype)
+        return np.concatenate([masks, pad])
+
     def _get_object_info(self, rgb_image_path, depth_image_path, consider_floor,
                          outlier_removal_config=DEFAULT_OUTLIER_REMOVAL_CONFIG,
                          depth_factor: float = 1.0):
@@ -132,7 +147,8 @@ class ObjectMemory:
 
         cfg = outlier_removal_config
         batched = mask_pointclouds_from_depth(
-            jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(det.masks),
+            jnp.asarray(depth), jnp.asarray(rgb),
+            jnp.asarray(self._pad_masks(det.masks)),
             jnp.float32(self.camera_focal_lenth_x),
             jnp.float32(self.camera_focal_lenth_y),
             apply_outlier_removal=cfg is not None,
@@ -400,31 +416,67 @@ class ObjectMemory:
         # LOCALISE_OUTLIER_CONFIG explicitly for the reference behavior.
 
         consider_floor = False  # reference hard-disables this (object_memory.py:886)
-        detected_phrases, detected_embs, detected_clouds = self._get_object_info(
-            image_path, depth_image_path, consider_floor=consider_floor,
-            outlier_removal_config=outlier_removal_config, depth_factor=depth_factor)
-
-        if detected_embs is None or len(self.memory) == 0:
+        rgb, depth = self._load_images(image_path, depth_image_path, depth_factor)
+        det = self.detector.find(rgb, consider_floor)
+        if len(det) == 0 or len(self.memory) == 0:
             return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
+        detected_embs = np.asarray(self.get_embeddings_func(
+            detections=det, full_rgb_image=rgb, full_depth_image=depth,
+            consider_floor=consider_floor))
+        detected_phrases = list(det.phrases)
+
+        # ONE device call for backprojection + both outlier passes (the
+        # per-detection loop costs a ~30 ms tunnel round-trip per call), then
+        # ONE host fetch of the batched arrays.
+        cfg = outlier_removal_config
+        batched = mask_pointclouds_from_depth(
+            jnp.asarray(depth), jnp.asarray(rgb),
+            jnp.asarray(self._pad_masks(det.masks)),
+            jnp.float32(self.camera_focal_lenth_x),
+            jnp.float32(self.camera_focal_lenth_y),
+            apply_outlier_removal=cfg is not None,
+            radius=cfg["radius"] if cfg else 0.05,
+            radius_nb_points=cfg["radius_nb_points"] if cfg else 0)
+        valid_masks = batched.mask
+        if cfg is not None:
+            # the reference cleans detections AGAIN before registration
+            # (object_memory.py:992-998)
+            keep2 = jax.vmap(lambda p, m: radius_outlier_keep_mask(
+                p, m, radius=cfg["radius"],
+                nb_points=cfg["radius_nb_points"]))(batched.points, valid_masks)
+            valid_masks = valid_masks & keep2
+        np_pts = np.asarray(batched.points)
+        np_cols = np.asarray(batched.colors)
+        np_msk = np.asarray(valid_masks)
+        det_np_all = [(np_pts[i][np_msk[i]], np_cols[i][np_msk[i]])
+                      for i in range(len(det))]
 
         # top max_detected_object_num largest clouds (object_memory.py:900-908)
-        sizes = [int(np.asarray(c.mask).sum()) for c in detected_clouds]
+        sizes = [len(p) for p, _ in det_np_all]
         order = np.argsort(sizes)[::-1][:max_detected_object_num]
         detected_phrases = [detected_phrases[i] for i in order]
         detected_embs = np.stack([detected_embs[i] for i in order])
-        detected_clouds = [detected_clouds[i] for i in order]
+        det_np_all = [det_np_all[i] for i in order]
 
         for m in self.memory:
             m._compute_means()
+
+        # drop detections whose clouds got (nearly) emptied by the cleanup:
+        # empty clouds produce NaN centroids downstream
+        keep_idx = [i for i, (p, _) in enumerate(det_np_all) if len(p) >= 16]
+        if not keep_idx:
+            return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
+        det_np = [det_np_all[i] for i in keep_idx]
+        detected_phrases = [detected_phrases[i] for i in keep_idx]
+        detected_embs = detected_embs[keep_idx]
 
         if len(detected_embs) > len(self.memory):
             self._log("Not enough memory objects")
             detected_embs = detected_embs[: len(self.memory)]
             detected_phrases = detected_phrases[: len(self.memory)]
-            detected_clouds = detected_clouds[: len(self.memory)]
+            det_np = det_np[: len(self.memory)]
 
-        # per-exemplar max cosine similarity (object_memory.py:933-936),
-        # batched: concat exemplars + segment max
+        # per-exemplar max cosine similarity (object_memory.py:933-936)
         d_norm = detected_embs / np.maximum(
             np.linalg.norm(detected_embs, axis=-1, keepdims=True), 1e-12)
         closest = np.zeros((len(d_norm), len(self.memory)), np.float32)
@@ -435,40 +487,11 @@ class ObjectMemory:
 
         self._log(f"Getting assignments, sims shape {closest.shape}")
         sv = SimVolume(closest)
-        sv.fast_construct_volume(min(len(detected_clouds), 3))
+        sv.fast_construct_volume(min(len(det_np), 3))
         assns = sv.get_top_indices_from_subvolumes(num_per_length=4)
         self._log(f"Assignments being considered: {assns}")
 
-        # clean detected clouds (object_memory.py:992-998)
-        if outlier_removal_config is not None:
-            cleaned = []
-            for cloud in detected_clouds:
-                keep = radius_outlier_keep_mask(
-                    cloud.points, cloud.mask,
-                    radius=outlier_removal_config["radius"],
-                    nb_points=outlier_removal_config["radius_nb_points"])
-                cleaned.append(PointCloud(cloud.points, cloud.colors,
-                                          cloud.mask & keep))
-            detected_clouds = cleaned
-
-        # drop detections whose clouds got (nearly) emptied by the cleanup:
-        # empty clouds produce NaN centroids downstream
-        keep_idx = [i for i, c in enumerate(detected_clouds)
-                    if int(np.asarray(c.mask).sum()) >= 16]
-        if not keep_idx:
-            return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
-        if len(keep_idx) < len(detected_clouds):
-            remap = {old: new for new, old in enumerate(keep_idx)}
-            detected_clouds = [detected_clouds[i] for i in keep_idx]
-            detected_phrases = [detected_phrases[i] for i in keep_idx]
-            detected_embs = detected_embs[keep_idx]
-            closest = closest[keep_idx]
-            assns = [[[remap[d], m] for d, m in assn if d in remap]
-                     for assn in assns]
-            assns = [a for a in assns if a]
-
-        det_np = [c.to_numpy() for c in detected_clouds]
-        mem_np = [o.cloud.to_numpy() for o in self.memory]
+        mem_np = [o._numpy_cloud() for o in self.memory]
 
         # full clouds for global evaluation (object_memory.py:1000-1016)
         all_det_pts = np.concatenate([p for p, _ in det_np])
@@ -480,7 +503,10 @@ class ObjectMemory:
         all_det = PointCloud.from_numpy(sd_pts, sd_cols, capacity=EVAL_CAPACITY)
         all_mem = PointCloud.from_numpy(sm_pts, sm_cols, capacity=EVAL_CAPACITY)
 
-        results = []
+        # --- batch ALL assignment registrations into one device call --------
+        # (the TPU-first restructuring of the reference's per-assignment loop,
+        # object_memory.py:1020-1106: A assignments vmap across the chip)
+        batch_entries = []
         for assn in assns:
             chosen_det = np.concatenate([det_np[d][0] for d, _ in assn])
             chosen_det_c = np.concatenate([det_np[d][1] for d, _ in assn])
@@ -490,73 +516,93 @@ class ObjectMemory:
                 continue
             detected_mean = chosen_det.mean(0)
             memory_mean = chosen_mem.mean(0)
-
             cd, cdc = _subsample_points(chosen_det - detected_mean, chosen_det_c,
                                         REGISTRATION_CAPACITY)
             cm, cmc = _subsample_points(chosen_mem - memory_mean, chosen_mem_c,
                                         REGISTRATION_CAPACITY)
-            src = PointCloud.from_numpy(cd, cdc, capacity=REGISTRATION_CAPACITY)
-            tgt = PointCloud.from_numpy(cm, cmc, capacity=REGISTRATION_CAPACITY)
+            # candidate init: Kabsch on the assigned objects' centroids —
+            # correspondence-free coarse alignment where FPFH is degenerate
+            if len(assn) >= 2:
+                det_cent = np.stack([det_np[d][0].mean(0) - detected_mean
+                                     for d, _ in assn])
+                mem_cent = np.stack([mem_np[m][0].mean(0) - memory_mean
+                                     for _, m in assn])
+                init_T = kabsch_numpy(det_cent, mem_cent)
+                has_init = True
+            else:
+                init_T = np.eye(4, dtype=np.float32)
+                has_init = False
+            batch_entries.append(dict(
+                assn=assn, cd=cd, cdc=cdc, cm=cm, cmc=cmc,
+                detected_mean=detected_mean, memory_mean=memory_mean,
+                init_T=init_T, has_init=has_init))
 
-            # candidate 1: FPFH + RANSAC + colored ICP (the reference path)
-            transform, rmse, fitness = register_point_clouds(
-                src, tgt, voxel_size=fpfh_voxel_size,
+        if not batch_entries:
+            return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
+
+        cap = REGISTRATION_CAPACITY
+        a_real = len(batch_entries)
+        a_pad = max(4, 1 << (a_real - 1).bit_length())  # jit-cache bucket
+
+        def pack(key_pts, key_cols):
+            pts = np.zeros((a_pad, cap, 3), np.float32)
+            cols = np.zeros((a_pad, cap, 3), np.float32)
+            msk = np.zeros((a_pad, cap), bool)
+            for i, e in enumerate(batch_entries):
+                n = len(e[key_pts])
+                pts[i, :n] = e[key_pts]
+                cols[i, :n] = e[key_cols]
+                msk[i, :n] = True
+            return PointCloud(jnp.asarray(pts), jnp.asarray(cols),
+                              jnp.asarray(msk))
+
+        src_b = pack("cd", "cdc")
+        tgt_b = pack("cm", "cmc")
+        init_b = np.stack([e["init_T"] for e in batch_entries]
+                          + [np.eye(4, dtype=np.float32)] * (a_pad - a_real))
+        has_init_b = np.array([e["has_init"] for e in batch_entries]
+                              + [False] * (a_pad - a_real))
+        dmeans = np.stack([e["detected_mean"] for e in batch_entries]
+                          + [np.zeros(3)] * (a_pad - a_real)).astype(np.float32)
+        mmeans = np.stack([e["memory_mean"] for e in batch_entries]
+                          + [np.zeros(3)] * (a_pad - a_real)).astype(np.float32)
+
+        transforms, rmses, fitnesses, full_rmses, full_fitnesses = \
+            register_assignments_batched(
+                src_b, tgt_b, init_b, has_init_b, dmeans, mmeans,
+                all_det, all_mem, voxel_size=fpfh_voxel_size,
                 global_dist_factor=fpfh_global_dist_factor,
                 local_dist_factor=fpfh_local_dist_factor)
 
-            # candidate 2 (TPU build extra): the assignment already implies
-            # object-level correspondences, so Kabsch on the matched objects'
-            # centroids gives a correspondence-free coarse init (robust where
-            # FPFH is degenerate, e.g. textureless planar geometry); refine
-            # with multi-scale ICP and keep whichever candidate fits better.
-            if len(assn) >= 2:
-                det_centroids = np.stack([det_np[d][0].mean(0) - detected_mean
-                                          for d, _ in assn])
-                mem_centroids = np.stack([mem_np[m][0].mean(0) - memory_mean
-                                          for _, m in assn])
-                init_T = np.asarray(kabsch_transform(
-                    jnp.asarray(det_centroids, jnp.float32),
-                    jnp.asarray(mem_centroids, jnp.float32)))
-                t2, r2, f2 = refine_registration(
-                    src, tgt, init_T, voxel_size=fpfh_voxel_size,
-                    local_dist_factor=fpfh_local_dist_factor)
-                if f2 > fitness:
-                    transform, rmse, fitness = t2, r2, f2
-
+        # host-side: global consistency gate + result records
+        top1 = np.argmax(closest, axis=1)
+        det_cents_all = np.stack([det_np[d][0].mean(0) for d in range(len(det_np))])
+        mem_cents_top1 = np.stack([mem_np[top1[d]][0].mean(0)
+                                   for d in range(len(det_np))])
+        results = []
+        for i, e in enumerate(batch_entries):
+            transform = transforms[i]
+            fitness = float(fitnesses[i])
             # geometric consistency gate (TPU build extra): a valid pose must
             # map EVERY detection's centroid near its top-1 embedding match
-            # (median over detections — robust to a minority of bad matches).
-            # Wrong-but-surface-overlapping alignments of box-like objects can
-            # score high plain fitness; this global check rejects them, and
-            # unlike a per-assignment check it also constrains single-pair
-            # assignments whose own registration is underdetermined.
+            # (median over detections — robust to a minority of bad matches);
+            # it also constrains single-pair assignments whose own
+            # registration is underdetermined.
             R_g = transform[:3, :3]
             t_g = transform[:3, 3]
-            top1 = np.argmax(closest, axis=1)
-            cen_errs = [
-                np.linalg.norm(
-                    (R_g @ (det_np[d][0].mean(0) - detected_mean) + t_g)
-                    - (mem_np[top1[d]][0].mean(0) - memory_mean))
-                for d in range(len(det_np))]
-            centroid_err = float(np.median(cen_errs))
-            if centroid_err > centroid_gate:
+            moved = (det_cents_all - e["detected_mean"]) @ R_g.T + t_g
+            cen_errs = np.linalg.norm(
+                moved - (mem_cents_top1 - e["memory_mean"]), axis=1)
+            full_fitness = float(full_fitnesses[i])
+            if float(np.median(cen_errs)) > centroid_gate:
                 fitness = -1.0
-
-            # global-frame transform accounting for mean centering
-            # (object_memory.py:1096-1101)
-            R = transform[:3, :3]
-            tx = transform[:3, 3]
-            global_T = np.eye(4)
-            global_T[:3, :3] = R
-            global_T[:3, 3] = tx + memory_mean - R @ detected_mean
-
-            full_rmse, full_fitness = evaluate_transform(all_det, all_mem, global_T)
-            if fitness < 0:
                 full_fitness = -1.0
-            results.append(dict(assn=assn, transform=transform,
-                                detected_mean=detected_mean, memory_mean=memory_mean,
-                                rmse=rmse, fitness=fitness,
-                                full_rmse=full_rmse, full_fitness=full_fitness))
+            results.append(dict(assn=e["assn"], transform=transform,
+                                detected_mean=e["detected_mean"],
+                                memory_mean=e["memory_mean"],
+                                rmse=float(rmses[i]), fitness=fitness,
+                                full_rmse=float(full_rmses[i]),
+                                full_fitness=full_fitness))
 
         if not results:
             return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
@@ -573,11 +619,12 @@ class ObjectMemory:
         # compose with the BEST assignment's means (reference bug fixed — see
         # module docstring)
         tAvg = t + best["memory_mean"] - R @ best["detected_mean"]
-        qAvg = np.asarray(rotmat_to_quat_xyzw(jnp.asarray(R, jnp.float32)))
+        from scipy.spatial.transform import Rotation as _Rot
+        qAvg = _Rot.from_matrix(np.asarray(R, np.float64)).as_quat()
         localised_pose = np.concatenate([tAvg, qAvg])
 
         best_assn = best["assn"]
-        moved = [n for n in range(len(detected_clouds))
+        moved = [n for n in range(len(det_np))
                  if n not in [d for d, _ in best_assn]]
 
         if save_point_clouds:

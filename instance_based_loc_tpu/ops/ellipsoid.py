@@ -27,8 +27,11 @@ def fit_ellipsoid(points: jax.Array, mask: jax.Array,
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)) - 1.0, 1.0)
     cov = jnp.matmul(centered.T, centered,
                      precision=jax.lax.Precision.HIGHEST) / n
-    # np.cov ddof=1 like the reference; SVD of symmetric cov == eigh
-    u, s, _ = jnp.linalg.svd(cov)
+    # np.cov ddof=1 like the reference; SVD of symmetric PSD cov == eigh
+    from .eigen3 import eigh3x3
+    w_asc, v_asc = eigh3x3(cov)
+    s = jnp.maximum(w_asc[::-1], 0.0)
+    u = v_asc[:, ::-1]
     lengths = jnp.sqrt(jnp.maximum(s, 1e-12)) * scaling_factor
 
     proj = jnp.matmul(points - center, u, precision=jax.lax.Precision.HIGHEST)

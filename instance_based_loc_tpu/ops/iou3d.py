@@ -73,7 +73,8 @@ def pca_obb(points: jax.Array, mask: jax.Array):
     centered = (points - mu) * mask[:, None]
     n = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 1.0)
     cov = jnp.matmul(centered.T, centered, precision=jax.lax.Precision.HIGHEST) / n
-    _, vecs = jnp.linalg.eigh(cov)  # columns = axes, ascending eigenvalue
+    from .eigen3 import eigh3x3
+    _, vecs = eigh3x3(cov)  # columns = axes, ascending eigenvalue
     # eigh may return a left-handed basis; a mirrored frame flips face
     # orientations downstream (negative clipped volumes), so fix the sign.
     det = jnp.linalg.det(vecs)

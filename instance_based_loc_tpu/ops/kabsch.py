@@ -32,7 +32,10 @@ def kabsch_transform(p: jax.Array, q: jax.Array,
     p_c = p - u_p
     q_c = q - u_q
     cov = jnp.matmul((q_c * w).T, p_c, precision=jax.lax.Precision.HIGHEST)
-    uu, _, vh = jnp.linalg.svd(cov, full_matrices=True)
+    # analytic 3x3 SVD: jnp.linalg.svd lowers to an iterative solver that is
+    # ~100x slower for the thousands of tiny SVDs RANSAC/ICP issue on TPU
+    from .eigen3 import svd3x3
+    uu, _, vh = svd3x3(cov)
     d = jnp.linalg.det(uu) * jnp.linalg.det(vh)
     m = jnp.diag(jnp.array([1.0, 1.0, 1.0], cov.dtype)).at[2, 2].set(d)
     r = uu @ m @ vh
@@ -45,6 +48,27 @@ def kabsch_transform(p: jax.Array, q: jax.Array,
 def kabsch_masked(p: jax.Array, q: jax.Array, mask: jax.Array) -> jax.Array:
     """Masked variant for padded correspondence sets."""
     return kabsch_transform(p, q, weights=mask.astype(p.dtype))
+
+
+def kabsch_numpy(p, q):
+    """Host numpy Kabsch for tiny correspondence sets (e.g. the 2-7 object
+    centroids of a localise assignment): running the jax version eagerly from
+    host code costs hundreds of per-primitive dispatches over the device
+    tunnel; 3x3 numpy SVD is microseconds."""
+    import numpy as np
+    p = np.asarray(p, np.float64)
+    q = np.asarray(q, np.float64)
+    u_p = p.mean(0)
+    u_q = q.mean(0)
+    cov = (q - u_q).T @ (p - u_p)
+    uu, _, vh = np.linalg.svd(cov)
+    d = np.linalg.det(uu) * np.linalg.det(vh)
+    r = uu @ np.diag([1.0, 1.0, d]) @ vh
+    t = u_q - r @ u_p
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = r
+    out[:3, 3] = t
+    return out
 
 
 def apply_transform(points: jax.Array, transform: jax.Array) -> jax.Array:

@@ -40,8 +40,10 @@ def knn_hybrid(points: jax.Array, mask: jax.Array, radius, k: int = 30,
     def tile_fn(rows):
         d2 = pairwise_sq_dists(rows, points)                 # (T, N)
         d2 = jnp.where(mask[None, :], d2, big)
-        neg, idx = jax.lax.top_k(-d2, k)                     # (T, k)
-        d2k = -neg
+        # approx_min_k lowers to the TPU PartialReduce op — one pass instead
+        # of top_k's O(k) passes (k=100 for FPFH made top_k the single most
+        # expensive stage of registration)
+        d2k, idx = jax.lax.approx_min_k(d2, k, recall_target=0.95)
         ok = (d2k <= r2) & (d2k < big / 2)
         return idx.astype(jnp.int32), ok
 
@@ -71,7 +73,8 @@ def estimate_normals(points: jax.Array, mask: jax.Array, radius,
     centered = (nbrs - mean[:, None, :]) * w
     cov = jnp.einsum("nki,nkj->nij", centered, centered,
                      precision=jax.lax.Precision.HIGHEST) / count[..., None]
-    _, vecs = jnp.linalg.eigh(cov)                           # ascending
+    from .eigen3 import eigh3x3  # analytic: N tiny eighs are slow via LAPACK path
+    _, vecs = eigh3x3(cov)                                   # ascending
     normal = vecs[..., 0]                                    # smallest eigval
 
     degenerate = jnp.sum(ok, axis=1) < 3

@@ -128,6 +128,86 @@ def evaluate_transform(source: PointCloud, target: PointCloud,
     return float(rmse), float(fitness)
 
 
+@partial(jax.jit, static_argnames=("num_hypotheses", "icp_iterations"))
+def _register_assignments_impl(src_pts, src_cols, src_mask,
+                               tgt_pts, tgt_cols, tgt_mask,
+                               init_T, has_init,
+                               det_means, mem_means,
+                               eval_src_pts, eval_src_mask,
+                               eval_tgt_pts, eval_tgt_mask,
+                               voxel_size, global_dist_factor,
+                               local_dist_factor, key,
+                               num_hypotheses: int = 4096,
+                               icp_iterations: int = 30):
+    """ALL of a localisation query's assignment registrations in ONE compiled
+    program (the serial per-assignment loop costs a device dispatch + compile
+    cache hit each — at ~250 ms per assignment that capped the pipeline at
+    <1 fps; batched, the A assignments vmap across the chip).
+
+    Per assignment a (leading axis A):
+      cand1 = FPFH + RANSAC + colored ICP   (the reference path)
+      cand2 = multi-scale ICP from the centroid-Kabsch init (if has_init[a])
+      T[a]  = better-fitness candidate
+      full fitness/rmse of the composed global transform vs the full clouds.
+    """
+    a = src_pts.shape[0]
+    keys = jax.random.split(key, a)
+
+    def one(sp, sc, sm, tp, tc, tm, iT, hi, dmean, mmean, k):
+        t1, r1, f1 = _register_impl(sp, sc, sm, tp, tc, tm,
+                                    voxel_size, global_dist_factor,
+                                    local_dist_factor, k,
+                                    num_hypotheses=num_hypotheses,
+                                    icp_iterations=icp_iterations)
+        t2, r2, f2 = _refine_impl(sp, sc, sm, tp, tc, tm, iT,
+                                  voxel_size * 4.0,
+                                  voxel_size * local_dist_factor,
+                                  icp_iterations=icp_iterations)
+        f2 = jnp.where(hi, f2, -1.0)
+        use2 = f2 > f1
+        T = jnp.where(use2, t2, t1)
+        rmse = jnp.where(use2, r2, r1)
+        fitness = jnp.where(use2, f2, f1)
+
+        # compose the global-frame transform (mean-centering accounted)
+        R = T[:3, :3]
+        tx = T[:3, 3]
+        gT = jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(
+            tx + mmean - R @ dmean)
+        full_rmse, full_fitness = evaluate_transform_arrays(
+            eval_src_pts, eval_src_mask, eval_tgt_pts, eval_tgt_mask,
+            gT, 0.02)
+        return T, rmse, fitness, full_rmse, full_fitness
+
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))(
+        src_pts, src_cols, src_mask, tgt_pts, tgt_cols, tgt_mask,
+        init_T, has_init, det_means, mem_means, keys)
+
+
+def register_assignments_batched(src: PointCloud, tgt: PointCloud,
+                                 init_T: np.ndarray, has_init: np.ndarray,
+                                 det_means: np.ndarray, mem_means: np.ndarray,
+                                 eval_src: PointCloud, eval_tgt: PointCloud,
+                                 voxel_size: float,
+                                 global_dist_factor: float = 1.5,
+                                 local_dist_factor: float = 0.4,
+                                 seed: int = 0,
+                                 num_hypotheses: int = 4096,
+                                 icp_iterations: int = 30):
+    """Host wrapper: src/tgt are BATCHED PointClouds with leading assignment
+    axis A. Returns numpy (T (A,4,4), rmse, fitness, full_rmse, full_fitness)."""
+    out = _register_assignments_impl(
+        src.points, src.colors, src.mask,
+        tgt.points, tgt.colors, tgt.mask,
+        jnp.asarray(init_T, jnp.float32), jnp.asarray(has_init),
+        jnp.asarray(det_means, jnp.float32), jnp.asarray(mem_means, jnp.float32),
+        eval_src.points, eval_src.mask, eval_tgt.points, eval_tgt.mask,
+        jnp.float32(voxel_size), jnp.float32(global_dist_factor),
+        jnp.float32(local_dist_factor), jax.random.PRNGKey(seed),
+        num_hypotheses=num_hypotheses, icp_iterations=icp_iterations)
+    return tuple(np.asarray(x) for x in out)
+
+
 def pad_for_registration(cloud: PointCloud, capacity: int | None = None) -> PointCloud:
     """Host-side: compact + pad to a power-of-two capacity so repeated
     registrations hit the jit cache."""
