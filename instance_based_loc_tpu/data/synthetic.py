@@ -203,3 +203,21 @@ def write_synth_dataset(out_dir: str, scene: SyntheticScene | None = None,
     with open(os.path.join(out_dir, "additional_information.txt"), "w") as f:
         f.write(f"Focal Lenth = {focal_length:g}\n")
     return scene
+
+
+def get_sense_of_depthmap_from_pointcloud(points: np.ndarray,
+                                          image_height: int, image_width: int,
+                                          focal_length_x: float,
+                                          focal_length_y: float) -> np.ndarray:
+    """Re-project a camera-frame cloud into a depth-map-shaped image
+    (reference synthetic_dataloader.py:141-163 — the "sense of depthmap"
+    debugging view; note its y-negation quirk is reproduced)."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    zs = np.where(np.abs(z) > 1e-12, z, 1e-12)
+    x_pix = np.clip(np.round(x * focal_length_x / zs + image_width / 2
+                             ).astype(int), 0, image_width - 1)
+    y_pix = np.clip(np.round(y * focal_length_y / zs + image_height / 2
+                             ).astype(int), 0, image_height - 1)
+    depth = np.zeros((image_height, image_width), np.float32)
+    depth[-y_pix, x_pix] = z
+    return depth
