@@ -124,22 +124,31 @@ def build_cascade_detector(ram_checkpoint: str | None = None,
                            gdino_checkpoint: str | None = None,
                            sam_checkpoint: str | None = None,
                            **kwargs) -> CascadeDetector:
-    """Assemble the neural cascade. Without checkpoints the flax models run
-    randomly initialized — functional for pipeline/scale testing, not for
-    semantic quality (no pretrained weights are downloadable in this
-    environment; pass local checkpoint paths for real deployments)."""
+    """Assemble the neural cascade: RAM tagger (models/ram.py) ->
+    GroundingDINO-style grounder (models/gdino.py) -> SAM segmenter
+    (models/sam.py). Without checkpoints the flax models run randomly
+    initialized or weights-free (no pretrained weights are downloadable in
+    this environment): the tagger returns [] (pass explicit captions), the
+    grounder falls back to a single full-image proposal, SAM still produces
+    structural masks. Pass local checkpoint paths for real deployments."""
     from .sam import build_sam_segmenter
+    from .ram import build_ram_tagger
+    from .gdino import build_gdino_grounder
 
     segmenter = build_sam_segmenter(sam_checkpoint)
+    ram_tagger = build_ram_tagger(ram_checkpoint)
+    gdino = build_gdino_grounder(gdino_checkpoint) if gdino_checkpoint else None
 
     def tagger(img):
-        # RAM (Swin-L tagging) port pending full weights support; an explicit
-        # caption can always be passed to find(); default to generic probes.
-        return ["object"]
+        tags = ram_tagger(img)
+        return tags if tags else ["object"]
 
     def grounder(img, keyword):
-        # GroundingDINO port pending (see ops/pallas/msda.py for its core
-        # custom op); the box-proposal fallback is a single full-image box.
+        if gdino is not None:
+            boxes, scores = gdino(img, keyword)
+            if boxes is not None:
+                return boxes, scores
+        # weights-free fallback: one near-full-image proposal
         return np.array([[0.5, 0.5, 0.9, 0.9]], np.float32), np.array([1.0])
 
     return CascadeDetector(tagger, grounder, segmenter, **kwargs)
