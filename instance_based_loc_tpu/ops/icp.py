@@ -69,6 +69,52 @@ def icp(src_pts: jax.Array, src_mask: jax.Array,
     return T, fitness, rmse
 
 
+@partial(jax.jit, static_argnames=("max_iterations",))
+def semantic_icp(src_pts: jax.Array, src_labels: jax.Array, src_mask: jax.Array,
+                 tgt_pts: jax.Array, tgt_labels: jax.Array, tgt_mask: jax.Array,
+                 max_correspondence_distance,
+                 init_transform: jax.Array | None = None,
+                 max_iterations: int = DEFAULT_ICP_ITERS):
+    """Label-constrained ICP: correspondences may only pair points with the
+    SAME semantic label (e.g. the assignment's object index). The reference
+    declares this path but never implements it (`perform_semantic_icp`
+    raises NotImplementedError — object_memory.py:1039-1040); here it works:
+    the label constraint enters as an additive penalty on the pairwise
+    distance matrix, everything else matches `icp`.
+
+    Returns (T (4,4), fitness, inlier_rmse).
+    """
+    from .distance import pairwise_sq_dists
+
+    thr2 = jnp.float32(max_correspondence_distance) ** 2
+    T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform
+    big = jnp.float32(1e30)
+
+    def nearest_same_label(moved):
+        d2 = pairwise_sq_dists(moved, tgt_pts)
+        mismatch = src_labels[:, None] != tgt_labels[None, :]
+        d2 = jnp.where(mismatch | ~tgt_mask[None, :], big, d2)
+        idx = jnp.argmin(d2, axis=1)
+        return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+
+    def step(T, _):
+        moved = apply_transform(src_pts, T)
+        nn_idx, nn_d2 = nearest_same_label(moved)
+        inlier = src_mask & (nn_d2 <= thr2)
+        w = inlier.astype(jnp.float32)
+        T_new = kabsch_transform(src_pts, tgt_pts[nn_idx], weights=w)
+        return jnp.where(jnp.sum(inlier) >= 3, T_new, T), None
+
+    T, _ = jax.lax.scan(step, T0, None, length=max_iterations)
+    moved = apply_transform(src_pts, T)
+    _, nn_d2 = nearest_same_label(moved)
+    inlier = src_mask & (nn_d2 <= thr2)
+    count = jnp.sum(inlier.astype(jnp.float32))
+    rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, nn_d2, 0.0)) / jnp.maximum(count, 1.0))
+    fitness = count / jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
+    return T, fitness, rmse
+
+
 @jax.jit
 def evaluate_transform_arrays(src_pts, src_mask, tgt_pts, tgt_mask,
                               transform, threshold):

@@ -1,0 +1,84 @@
+"""Coverage for the remaining ObjectMemory paths: noise injection (the
+reference's fault-injection mechanism, object_memory.py:189-219), floor
+removal (:265-291), and the per-instance save layout."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from instance_based_loc_tpu.memory import ObjectMemory, ColorRegionDetector
+from instance_based_loc_tpu.memory.object_info import ObjectInfo
+from instance_based_loc_tpu.models.embedders import get_embedder
+from instance_based_loc_tpu.ops.pointcloud import PointCloud
+from instance_based_loc_tpu.data.synthetic import (
+    default_scene, render_scene, ring_poses)
+
+
+def _mem():
+    return ObjectMemory(
+        detector=ColorRegionDetector(min_area=80),
+        camera_focal_lenth_x=150.0, camera_focal_lenth_y=150.0,
+        get_embeddings_func=get_embedder("color"), log_enabled=False)
+
+
+def test_process_image_noise_injection(rng):
+    scene = default_scene(num_objects=3, seed=1)
+    pose = ring_poses(4, radius=4.0)[0]
+    rgb, depth, _ = render_scene(scene, pose, 120, 160, 150.0)
+
+    clean = _mem()
+    clean.process_image(rgb, depth, pose.copy(), consider_floor=False,
+                        min_points=100, outlier_removal_config=None)
+    noisy = _mem()
+    noisy.process_image(rgb, depth, pose.copy(), consider_floor=False,
+                        min_points=100, outlier_removal_config=None,
+                        add_noise=True,
+                        pose_noise={"trans": 0.01, "rot": 0.01},
+                        depth_noise=0.01)
+    assert len(noisy.memory) == len(clean.memory)
+    # noise actually perturbed the world points
+    d = np.abs(noisy.memory[0].points().mean(0)
+               - clean.memory[0].points().mean(0))
+    assert d.max() > 1e-4
+
+
+def test_remove_points_below_floor(rng):
+    mem = _mem()
+    mem.dataset_floor_thickness = 0.1
+    # object A spans y in [0, 1]; object B sits at y ~ 0 (floor junk)
+    pts_a = rng.uniform(0, 1, size=(200, 3)).astype(np.float32)
+    pts_b = rng.uniform(0, 0.05, size=(100, 3)).astype(np.float32)
+    emb = np.ones(4, np.float32)
+    mem.memory = [
+        ObjectInfo(0, "tall", emb, PointCloud.from_numpy(pts_a)),
+        ObjectInfo(1, "flat", emb, PointCloud.from_numpy(pts_b)),
+    ]
+    mem.remove_points_below_floor()
+    # floor height = 0 (min over objects); points with y <= 0.1 removed
+    for obj in mem.memory:
+        assert (obj.points()[:, 1] > 0.1).all()
+    # the flat object should have been dropped entirely
+    assert len(mem.memory) == 1
+    assert mem.memory[0].names == ["tall"]
+
+
+def test_object_info_save_layout(tmp_path, rng):
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    obj = ObjectInfo(3, "chair", np.ones(4, np.float32),
+                     PointCloud.from_numpy(pts))
+    obj.save(str(tmp_path / "obj"))
+    assert (tmp_path / "obj" / "pointcloud.ply").exists()
+    assert (tmp_path / "obj" / "info.pkl").exists()
+    from instance_based_loc_tpu.utils.ply import read_ply
+    loaded, _ = read_ply(str(tmp_path / "obj" / "pointcloud.ply"))
+    np.testing.assert_allclose(np.sort(loaded, axis=0), np.sort(pts, axis=0),
+                               atol=1e-6)
+
+
+def test_localise_empty_memory_returns_zero_pose(rng):
+    mem = _mem()
+    scene = default_scene(num_objects=2, seed=0)
+    rgb, depth, _ = render_scene(scene, ring_poses(4)[0], 100, 120, 150.0)
+    pose, (assn, _) = mem.localise(rgb, depth, outlier_removal_config=None)
+    np.testing.assert_array_equal(pose, [0., 0., 0., 0., 0., 0., 1.])
+    assert assn == []

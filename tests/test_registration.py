@@ -178,3 +178,35 @@ def test_full_registration_recovers_transform(rng):
     # evaluate_transform agrees
     rmse_e, fit_e = evaluate_transform(sp, tp, T, threshold=0.05)
     assert fit_e > 0.8
+
+
+def test_semantic_icp_uses_labels(rng):
+    """Label-constrained ICP must recover a transform that plain geometry
+    would confuse: two identical clusters, distinguishable only by label."""
+    from instance_based_loc_tpu.ops.icp import semantic_icp
+    from scipy.spatial.transform import Rotation as _R
+
+    blob = sample_box_surface(rng, n=120, size=(0.5, 0.4, 0.3))
+    # source: box A at origin (label 0), an IDENTICAL box B at +x (label 1)
+    src = np.concatenate([blob, blob + [2.0, 0, 0]]).astype(np.float32)
+    labels = np.concatenate([np.zeros(120, np.int32), np.ones(120, np.int32)])
+    # target: everything shifted by t_true. Plain ICP from identity would
+    # lock A onto B's position (distance 0 matches); labels forbid that.
+    t_true = np.array([2.0, 0.3, -0.1], np.float32)
+    tgt = (src + t_true).astype(np.float32)
+    tgt_labels = labels.copy()
+
+    sp = PointCloud.from_numpy(src, capacity=256)
+    tp = PointCloud.from_numpy(tgt, capacity=256)
+    lab_s = np.zeros(256, np.int32); lab_s[:240] = labels
+    lab_t = np.zeros(256, np.int32); lab_t[:240] = tgt_labels
+
+    T, fitness, rmse = semantic_icp(
+        sp.points, jnp.asarray(lab_s), sp.mask,
+        tp.points, jnp.asarray(lab_t), tp.mask,
+        max_correspondence_distance=3.0,
+        max_iterations=30)
+    T = np.asarray(T)
+    np.testing.assert_allclose(T[:3, 3], t_true, atol=5e-2)
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-2)
+    assert float(fitness) > 0.9
