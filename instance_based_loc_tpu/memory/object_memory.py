@@ -6,12 +6,18 @@ TPU-first differences from the reference:
 * detection + embedding are *batched per frame* (one detector call, one
   embedder call over all crops) instead of the reference's per-crop loop
   (object_memory.py:131-145);
-* per-mask backprojection + outlier removal is one jitted kernel for all
-  masks (ops.backprojection.mask_pointclouds_from_depth);
-* the assignment search runs as a batched device top-k
-  (ops.assignment.SimVolume);
-* per-assignment registration pads union clouds to a fixed capacity so every
-  assignment reuses one compiled FPFH+RANSAC+ICP program;
+* the ENTIRE localise query runs as two fused device programs with one tiny
+  fetch each (ops/localise_kernels.py): backproject + outlier + top-N +
+  similarities + SimVolume top-k, then union-gather + FPFH + RANSAC +
+  multi-scale colored ICP + full-cloud evaluation + pose composition. Point
+  clouds never leave the device; memory-side buffers are packed/uploaded
+  once per memory version (`_pack_memory`);
+* memory-build frames run as one fused program too (process_frame):
+  backprojection, outlier removal, noise injection and the world transform
+  compile into a single kernel, with one compacted fetch per frame;
+* instance bookkeeping (ObjectInfo, clustering, merging) is host numpy —
+  small irregular work that would otherwise pay ~32 ms of tunnel latency
+  per touch;
 * the final pose is composed from the BEST assignment's means — the
   reference composes it from the means of whichever assignment iterated last
   (object_memory.py:1124-1131 uses loop-leaked `memory_mean`/`detected_mean`),
@@ -28,26 +34,27 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pointcloud import PointCloud, round_up_pow2
-from ..ops.backprojection import mask_pointclouds_from_depth
-from ..ops.transforms import transform_pointcloud, rotmat_to_quat_xyzw
-from ..ops.outliers import DEFAULT_OUTLIER_REMOVAL_CONFIG, radius_outlier_keep_mask
-from ..ops.voxel import voxel_downsample
+from ..ops.outliers import DEFAULT_OUTLIER_REMOVAL_CONFIG
 from ..ops.iou3d import pairwise_obb_iou
-from ..ops.kabsch import kabsch_transform, kabsch_numpy
-from ..ops.registration import (register_point_clouds, refine_registration,
-                                register_assignments_batched,
-                                evaluate_transform)
-from ..ops.assignment import SimVolume
+from ..ops.localise_kernels import (localise_frame, process_frame,
+                                    make_subsets)
 from ..ops.clustering import dbscan, agglomerative_precomputed
 from ..utils.logging import conditional_log
+from ..utils.profiling import StageTimer
 from .object_info import ObjectInfo
 from .phrases import check_if_floor
 from .detection import Detections
 
 
 LOCALISE_OUTLIER_CONFIG = {"radius_nb_points": 8, "radius": 0.05}  # object_memory.py:880-884
-REGISTRATION_CAPACITY = 2048     # per-side point budget for assignment registration
+REGISTRATION_CAPACITY = 1024     # per-side point budget for assignment registration
+FPFH_CAPACITY = 256              # feature subsample for the RANSAC coarse stage
 EVAL_CAPACITY = 4096             # budget for full-memory evaluate_transform
+MEM_OBJECT_CAPACITY = 2048       # per-memory-object resident point budget
+PROCESS_CAPACITY = 8192          # per-detection point budget kept at build time
+NUM_HYPOTHESES = 2048
+ICP_COARSE_ITERS = 15              # quality-critical: convergence of the
+ICP_FINE_ITERS = 30                # final pose (≈0.3 ms/iter on-chip)
 
 
 def _subsample_points(pts: np.ndarray, cols: np.ndarray, cap: int, seed: int = 0):
@@ -97,10 +104,16 @@ class ObjectMemory:
 
         self.memory: list[ObjectInfo] = []
         self.floors: ObjectInfo | None = None
+        self.timer = StageTimer()
+        self._pack = None          # resident device buffers (localise)
+        self._frame_counter = 0
 
     # ------------------------------------------------------------------ #
     def _log(self, statement):
         conditional_log(statement, self.log_enabled)
+
+    def _invalidate_pack(self):
+        self._pack = None
 
     def __repr__(self):
         rep = "".join(f"\t{obj}\n" for obj in self.memory)
@@ -117,46 +130,18 @@ class ObjectMemory:
         return rgb, np.asarray(depth, np.float32) / depth_factor
 
     @staticmethod
-    def _pad_masks(masks: np.ndarray) -> np.ndarray:
+    def _pad_masks(masks: np.ndarray, minimum: int = 8) -> np.ndarray:
         """Pad the detection axis to a power-of-two bucket: every distinct
         detection count otherwise triggers a fresh XLA compile of the whole
-        backprojection kernel (tens of seconds through a remote-compile
-        tunnel). Padded rows are all-False masks that yield empty clouds and
-        are dropped downstream."""
+        frame kernel (tens of seconds through a remote-compile tunnel).
+        Padded rows are all-False masks that yield empty clouds and are
+        dropped downstream."""
         m = len(masks)
-        bucket = max(4, 1 << (m - 1).bit_length())
+        bucket = max(minimum, 1 << (m - 1).bit_length())
         if bucket == m:
             return np.asarray(masks)
         pad = np.zeros((bucket - m,) + masks.shape[1:], masks.dtype)
         return np.concatenate([masks, pad])
-
-    def _get_object_info(self, rgb_image_path, depth_image_path, consider_floor,
-                         outlier_removal_config=DEFAULT_OUTLIER_REMOVAL_CONFIG,
-                         depth_factor: float = 1.0):
-        """Detect + embed + backproject one frame
-        (reference object_memory.py:125-161, batched)."""
-        rgb, depth = self._load_images(rgb_image_path, depth_image_path, depth_factor)
-        det: Detections = self.detector.find(rgb, consider_floor)
-        if len(det) == 0:
-            return None, None, None
-
-        embs = np.asarray(self.get_embeddings_func(
-            detections=det, full_rgb_image=rgb, full_depth_image=depth,
-            consider_floor=consider_floor))
-        assert len(embs) == len(det)
-
-        cfg = outlier_removal_config
-        batched = mask_pointclouds_from_depth(
-            jnp.asarray(depth), jnp.asarray(rgb),
-            jnp.asarray(self._pad_masks(det.masks)),
-            jnp.float32(self.camera_focal_lenth_x),
-            jnp.float32(self.camera_focal_lenth_y),
-            apply_outlier_removal=cfg is not None,
-            radius=cfg["radius"] if cfg else 0.05,
-            radius_nb_points=cfg["radius_nb_points"] if cfg else 0)
-        clouds = [PointCloud(batched.points[i], batched.colors[i], batched.mask[i])
-                  for i in range(len(det))]
-        return det.phrases, embs, clouds
 
     def process_image(self, rgb_image_path, depth_image_path, pose,
                       consider_floor: bool,
@@ -167,17 +152,26 @@ class ObjectMemory:
                       min_points: int = 500,
                       will_cluster_later: bool = True,
                       depth_factor: float = 1.0,
-                      kinect_frame: bool = False):
+                      kinect_frame: bool = False,
+                      process_capacity: int = PROCESS_CAPACITY):
         """Reference process_image (object_memory.py:163-256): detect, embed,
         backproject, (optional noise injection), world transform, min-points
-        filter, floor routing, append."""
-        phrases, embs, clouds = self._get_object_info(
-            rgb_image_path, depth_image_path, consider_floor,
-            outlier_removal_config, depth_factor)
-        if phrases is None:
+        filter, floor routing, append — with everything between detection and
+        the host bookkeeping fused into ONE device program."""
+        timer = self.timer
+        with timer.stage("build.load"):
+            rgb, depth = self._load_images(rgb_image_path, depth_image_path,
+                                           depth_factor)
+        with timer.stage("build.detect"):
+            det: Detections = self.detector.find(rgb, consider_floor)
+        if len(det) == 0:
             self._log("ObjectMemory.process_image did NOT find any objects")
             return
-        self._log(f"ObjectMemory.process_image found: {phrases}")
+        with timer.stage("build.embed"):
+            embs = np.asarray(self.get_embeddings_func(
+                detections=det, full_rgb_image=rgb, full_depth_image=depth,
+                consider_floor=consider_floor))
+            assert len(embs) == len(det)
 
         pose = np.array(pose, np.float64)
         rng = np.random.default_rng(0)
@@ -186,32 +180,47 @@ class ObjectMemory:
             q = pose[3:] + rng.normal(0, pose_noise["rot"], 4)
             pose[3:] = q / max(np.linalg.norm(q), 1e-12)
 
-        pose_j = jnp.asarray(pose, jnp.float32)
-        for phrase, emb, cloud in zip(phrases, embs, clouds):
-            if add_noise:
-                noisy = np.asarray(cloud.points) + rng.normal(
-                    0, depth_noise, cloud.points.shape).astype(np.float32)
-                cloud = PointCloud(jnp.asarray(noisy), cloud.colors, cloud.mask)
-            if kinect_frame:
-                from ..ops.transforms import transform_pointcloud_kinect
-                world = transform_pointcloud_kinect(cloud, pose_j)
-            else:
-                world = transform_pointcloud(cloud, pose_j)
+        cfg = outlier_removal_config
+        self._frame_counter += 1
+        with timer.stage("build.device"):
+            pc6, raw_counts, sub_counts = process_frame(
+                jnp.asarray(depth), jnp.asarray(rgb),
+                jnp.asarray(self._pad_masks(det.masks)),
+                jnp.asarray(pose, jnp.float32),
+                jnp.float32(self.camera_focal_lenth_x),
+                jnp.float32(self.camera_focal_lenth_y),
+                jnp.float32(cfg["radius"] if cfg else 0.05),
+                jnp.float32(depth_noise),
+                jax.random.PRNGKey(self._frame_counter),
+                proc_cap=process_capacity,
+                apply_outlier=cfg is not None,
+                nb_points=cfg["radius_nb_points"] if cfg else 0,
+                kinect=kinect_frame, add_noise=add_noise)
+            pc6, raw_counts, sub_counts = jax.device_get(
+                (pc6, raw_counts, sub_counts))
 
-            n_pts = int(np.asarray(world.mask).sum())
-            self._log(f"\tCurrent Object Phrase under consideration: {phrase}")
-            if n_pts < min_points:
-                self._log(f"\t\tSkipping as number of points {n_pts} < min_points = {min_points}.")
-                continue
-
-            new_obj = ObjectInfo(len(self.memory), phrase, emb,
-                                 world.compact(), self.object_info_max_embeddings_num)
-            if check_if_floor(new_obj.names):
-                self.floors = new_obj if self.floors is None else self.floors + new_obj
-                self._log(f"\tFloor Added: {new_obj}")
-            else:
-                self.memory.append(new_obj)
-                self._log(f"\tObject Added: {new_obj}")
+        with timer.stage("build.bookkeeping"):
+            self._log(f"ObjectMemory.process_image found: {det.phrases}")
+            for i, (phrase, emb) in enumerate(zip(det.phrases, embs)):
+                n_raw = int(raw_counts[i])
+                self._log(f"\tCurrent Object Phrase under consideration: {phrase}")
+                if n_raw < min_points:
+                    self._log(f"\t\tSkipping as number of points {n_raw} "
+                              f"< min_points = {min_points}.")
+                    continue
+                n = int(sub_counts[i])
+                pts = pc6[i, :n, :3].copy()
+                cols = pc6[i, :n, 3:].copy()
+                new_obj = ObjectInfo(len(self.memory), phrase, emb, (pts, cols),
+                                     self.object_info_max_embeddings_num)
+                if check_if_floor(new_obj.names):
+                    self.floors = (new_obj if self.floors is None
+                                   else self.floors + new_obj)
+                    self._log(f"\tFloor Added: {new_obj}")
+                else:
+                    self.memory.append(new_obj)
+                    self._log(f"\tObject Added: {new_obj}")
+        self._invalidate_pack()
 
     # ------------------------------------------------------------------ #
     # consolidation (§2.5)
@@ -222,6 +231,7 @@ class ObjectMemory:
             obj.downsample(voxel_size)
         if self.floors is not None:
             self.floors.downsample(voxel_size)
+        self._invalidate_pack()
 
     def remove_points_below_floor(self):
         """Reference object_memory.py:265-291: min object height + thickness."""
@@ -238,6 +248,7 @@ class ObjectMemory:
             if obj.num_points() > 0:
                 surviving.append(obj)
         self.memory = surviving
+        self._invalidate_pack()
 
     def _merge_by_labels(self, objects: list[ObjectInfo], labels: np.ndarray,
                          drop_noise: bool = True) -> list[ObjectInfo]:
@@ -260,7 +271,6 @@ class ObjectMemory:
         track point->object provenance directly, same result, no O(N^2)
         membership scans)."""
         pts = [obj.points() for obj in objects]
-        owners = np.concatenate([np.full(len(p), i) for i, p in enumerate(pts)])
         all_points = np.concatenate(pts)
         labels = dbscan(all_points, eps=eps, min_points=min_points)
         obj_labels = np.full(len(objects), -1)
@@ -277,6 +287,7 @@ class ObjectMemory:
             return
         labels = self._dbscan_object_labels(self.memory, eps, min_points_per_cluster)
         self.memory = self._merge_by_labels(self.memory, labels)
+        self._invalidate_pack()
 
     def _embedding_distance_matrix(self) -> np.ndarray:
         """Reference df + normalization (object_memory.py:444-465): cosine
@@ -299,6 +310,7 @@ class ObjectMemory:
         labels = agglomerative_precomputed(dist, embedding_distance_threshold,
                                            linkage="average")
         self.memory = self._merge_by_labels(self.memory, labels, drop_noise=False)
+        self._invalidate_pack()
 
     def recluster_via_combined(self, embedding_distance_threshold=0.4, eps=0.4,
                                min_points_per_cluster=150):
@@ -318,6 +330,7 @@ class ObjectMemory:
         self.memory = new_memory
         for i, obj in enumerate(self.memory):
             obj.id = i
+        self._invalidate_pack()
 
     def _recluster_IoU(self, IoU_threshold=0.6):
         """Reference object_memory.py:710-747: agglomerative (average) on
@@ -340,6 +353,7 @@ class ObjectMemory:
         self.memory = self._merge_by_labels(self.memory, labels, drop_noise=False)
         for obj in self.memory:
             obj._compute_means()
+        self._invalidate_pack()
 
     def recluster_via_clustering_and_IoU(self, embedding_distance_threshold=0.4,
                                          eps=0.4, min_points_per_cluster=150,
@@ -363,15 +377,14 @@ class ObjectMemory:
         with open(os.path.join(save_directory, "memory.txt"), "w") as f:
             f.write(repr(self))
 
-        all_pts = [o.cloud.to_numpy() for o in self.memory]
-        if all_pts:
-            pts = np.concatenate([p for p, _ in all_pts])
-            cols = np.concatenate([c for _, c in all_pts])
+        if self.memory:
+            pts = np.concatenate([o.pts for o in self.memory])
+            cols = np.concatenate([o.cols for o in self.memory])
             write_ply(os.path.join(save_directory, "combined_pointcloud.ply"), pts, cols)
             if self.floors is not None:
-                fp, fc = self.floors.cloud.to_numpy()
                 write_ply(os.path.join(save_directory, "combined_pointcloud_with_floor.ply"),
-                          np.concatenate([pts, fp]), np.concatenate([cols, fc]))
+                          np.concatenate([pts, self.floors.pts]),
+                          np.concatenate([cols, self.floors.cols]))
         for obj in self.memory:
             obj.save(os.path.join(obj_dir, str(obj.id)))
         if self.floors is not None:
@@ -392,6 +405,63 @@ class ObjectMemory:
         self.memory = [ObjectInfo.from_tuple(t) for t in payload["memory"]]
         self.floors = (ObjectInfo.from_tuple(payload["floors"])
                        if payload["floors"] is not None else None)
+        self._invalidate_pack()
+
+    # ------------------------------------------------------------------ #
+    # memory packing: host instances -> resident device buffers
+    # ------------------------------------------------------------------ #
+    def _pack_memory(self):
+        """Upload the memory side of localise ONCE per memory version:
+        per-object point banks, centroids, unit-norm exemplar embeddings and
+        the full-memory evaluation cloud. All localise queries reuse these
+        device buffers until the memory mutates."""
+        if self._pack is not None:
+            return self._pack
+        m = len(self.memory)
+        assert m > 0
+        m_pad = round_up_pow2(m, minimum=4)
+        mcap = min(MEM_OBJECT_CAPACITY,
+                   round_up_pow2(max(o.num_points() for o in self.memory)))
+        e_dim = int(np.asarray(self.memory[0].mean_emb).size)
+        e_pad = round_up_pow2(max(len(o.embeddings) for o in self.memory),
+                              minimum=1)
+
+        pts = np.zeros((m_pad, mcap, 3), np.float32)
+        cols = np.zeros((m_pad, mcap, 3), np.float32)
+        msk = np.zeros((m_pad, mcap), bool)
+        cent = np.zeros((m_pad, 3), np.float32)
+        ex = np.zeros((m_pad, e_pad, e_dim), np.float32)
+        ex_valid = np.zeros((m_pad, e_pad), bool)
+        valid = np.zeros((m_pad,), bool)
+        for i, obj in enumerate(self.memory):
+            p, c = _subsample_points(obj.pts, obj.cols, mcap, seed=i)
+            pts[i, :len(p)] = p
+            cols[i, :len(p)] = c
+            msk[i, :len(p)] = True
+            cent[i] = obj.pts.mean(0)
+            e = np.stack([np.asarray(x).reshape(-1) for x in obj.embeddings])
+            e = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+            ex[i, :len(e)] = e
+            ex_valid[i, :len(e)] = True
+            valid[i] = True
+
+        all_pts = np.concatenate([o.pts for o in self.memory])
+        all_cols = np.concatenate([o.cols for o in self.memory])
+        ev_pts, _ = _subsample_points(all_pts, all_cols, EVAL_CAPACITY)
+        ev = np.zeros((EVAL_CAPACITY, 3), np.float32)
+        ev_msk = np.zeros((EVAL_CAPACITY,), bool)
+        ev[:len(ev_pts)] = ev_pts
+        ev_msk[:len(ev_pts)] = True
+
+        self._pack = dict(
+            m_pad=m_pad, e_dim=e_dim,
+            mem_pts=jnp.asarray(pts), mem_cols=jnp.asarray(cols),
+            mem_msk=jnp.asarray(msk), mem_cent=jnp.asarray(cent),
+            mem_ex=jnp.asarray(ex), mem_ex_valid=jnp.asarray(ex_valid),
+            mem_valid=jnp.asarray(valid),
+            eval_pts=jnp.asarray(ev), eval_msk=jnp.asarray(ev_msk),
+        )
+        return self._pack
 
     # ------------------------------------------------------------------ #
     # localise (§3.2; reference object_memory.py:852-1169)
@@ -414,230 +484,116 @@ class ObjectMemory:
         # means NO outlier removal — needed for coarse-resolution depth where
         # the mm-scale default wipes entire clouds. Pass
         # LOCALISE_OUTLIER_CONFIG explicitly for the reference behavior.
-
+        timer = self.timer
         consider_floor = False  # reference hard-disables this (object_memory.py:886)
-        rgb, depth = self._load_images(image_path, depth_image_path, depth_factor)
-        det = self.detector.find(rgb, consider_floor)
+        with timer.stage("loc.load"):
+            rgb, depth = self._load_images(image_path, depth_image_path,
+                                           depth_factor)
+        with timer.stage("loc.detect"):
+            det = self.detector.find(rgb, consider_floor)
         if len(det) == 0 or len(self.memory) == 0:
             return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
-        detected_embs = np.asarray(self.get_embeddings_func(
-            detections=det, full_rgb_image=rgb, full_depth_image=depth,
-            consider_floor=consider_floor))
-        detected_phrases = list(det.phrases)
+        with timer.stage("loc.embed"):
+            detected_embs = np.asarray(self.get_embeddings_func(
+                detections=det, full_rgb_image=rgb, full_depth_image=depth,
+                consider_floor=consider_floor))
 
-        # ONE device call for backprojection + both outlier passes (the
-        # per-detection loop costs a ~30 ms tunnel round-trip per call), then
-        # ONE host fetch of the batched arrays.
+        pack = self._pack_memory()
+        m_pad = pack["m_pad"]
+        top_n = max_detected_object_num
+        k = min(top_n, 3)
+        subsets_np = make_subsets(top_n, k=k)
+        a_pad = round_up_pow2(sum(max(1, L) for L in range(1, k + 1)),
+                              minimum=4)
         cfg = outlier_removal_config
-        batched = mask_pointclouds_from_depth(
-            jnp.asarray(depth), jnp.asarray(rgb),
-            jnp.asarray(self._pad_masks(det.masks)),
-            jnp.float32(self.camera_focal_lenth_x),
-            jnp.float32(self.camera_focal_lenth_y),
-            apply_outlier_removal=cfg is not None,
-            radius=cfg["radius"] if cfg else 0.05,
-            radius_nb_points=cfg["radius_nb_points"] if cfg else 0)
-        valid_masks = batched.mask
-        if cfg is not None:
-            # the reference cleans detections AGAIN before registration
-            # (object_memory.py:992-998)
-            keep2 = jax.vmap(lambda p, m: radius_outlier_keep_mask(
-                p, m, radius=cfg["radius"],
-                nb_points=cfg["radius_nb_points"]))(batched.points, valid_masks)
-            valid_masks = valid_masks & keep2
-        np_pts = np.asarray(batched.points)
-        np_cols = np.asarray(batched.colors)
-        np_msk = np.asarray(valid_masks)
-        det_np_all = [(np_pts[i][np_msk[i]], np_cols[i][np_msk[i]])
-                      for i in range(len(det))]
+        self._frame_counter += 1
 
-        # top max_detected_object_num largest clouds (object_memory.py:900-908)
-        sizes = [len(p) for p, _ in det_np_all]
-        order = np.argsort(sizes)[::-1][:max_detected_object_num]
-        detected_phrases = [detected_phrases[i] for i in order]
-        detected_embs = np.stack([detected_embs[i] for i in order])
-        det_np_all = [det_np_all[i] for i in order]
+        # ---- ONE device program, ONE small fetch --------------------------
+        with timer.stage("loc.device"):
+            masks = self._pad_masks(det.masks, minimum=round_up_pow2(top_n))
+            d_pad = len(masks)
+            embs_pad = np.zeros((d_pad, detected_embs.shape[1]), np.float32)
+            embs_pad[:len(det)] = detected_embs
+            det_valid = np.zeros((d_pad,), bool)
+            det_valid[:len(det)] = True
+            budget = 4 * top_n * 4  # reference pop budget: num_per_length*D*4
+            out = localise_frame(
+                jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(masks),
+                jnp.asarray(embs_pad), jnp.asarray(det_valid),
+                pack["mem_pts"], pack["mem_cols"], pack["mem_msk"],
+                pack["mem_cent"], pack["mem_ex"], pack["mem_ex_valid"],
+                pack["mem_valid"], pack["eval_pts"], pack["eval_msk"],
+                jnp.asarray(subsets_np),
+                jnp.float32(self.camera_focal_lenth_x),
+                jnp.float32(self.camera_focal_lenth_y),
+                jnp.float32(cfg["radius"] if cfg else 0.05),
+                jnp.float32(fpfh_voxel_size),
+                jnp.float32(fpfh_global_dist_factor),
+                jnp.float32(fpfh_local_dist_factor),
+                jnp.float32(centroid_gate),
+                jax.random.PRNGKey(self._frame_counter),
+                top_n=top_n,
+                budget=min(budget, (m_pad + 1) ** k),
+                outlier_passes=2 if cfg else 0,
+                nb_points=cfg["radius_nb_points"] if cfg else 0,
+                min_det_points=16, a_pad=a_pad,
+                reg_cap=REGISTRATION_CAPACITY, fpfh_cap=FPFH_CAPACITY,
+                eval_cap=EVAL_CAPACITY, num_hyp=NUM_HYPOTHESES,
+                icp_coarse_iters=ICP_COARSE_ITERS,
+                icp_fine_iters=ICP_FINE_ITERS)
+            out = jax.device_get(out)
 
-        for m in self.memory:
-            m._compute_means()
+        with timer.stage("loc.finish"):
+            n_active = int(out["active"].sum())
+            assn_valid = out["assn_valid"]
+            if n_active == 0 or not assn_valid.any():
+                return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
 
-        # drop detections whose clouds got (nearly) emptied by the cleanup:
-        # empty clouds produce NaN centroids downstream
-        keep_idx = [i for i, (p, _) in enumerate(det_np_all) if len(p) >= 16]
-        if not keep_idx:
-            return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
-        det_np = [det_np_all[i] for i in keep_idx]
-        detected_phrases = [detected_phrases[i] for i in keep_idx]
-        detected_embs = detected_embs[keep_idx]
+            def decode(i):
+                pv = out["pair_valid"][i]
+                return [[int(d), int(m)] for d, m in
+                        zip(out["assn_det"][i][pv], out["assn_mem"][i][pv])]
 
-        if len(detected_embs) > len(self.memory):
-            self._log("Not enough memory objects")
-            detected_embs = detected_embs[: len(self.memory)]
-            detected_phrases = detected_phrases[: len(self.memory)]
-            det_np = det_np[: len(self.memory)]
+            valid_idx = np.nonzero(assn_valid)[0]
+            if self.log_enabled:
+                self._log("Assignments being considered: "
+                          f"{[decode(i) for i in valid_idx]}")
+                for i in sorted(valid_idx,
+                                key=lambda i: out["full_fitness"][i],
+                                reverse=True):
+                    self._log(
+                        f"Assn: {decode(i)} | chosen RMSE: {out['rmse'][i]:.4f} | "
+                        f"full RMSE: {out['full_rmse'][i]:.4f} | "
+                        f"chosen fitness: {out['fitness'][i]:.4f} | "
+                        f"full fitness: {out['full_fitness'][i]:.4f}")
 
-        # per-exemplar max cosine similarity (object_memory.py:933-936)
-        d_norm = detected_embs / np.maximum(
-            np.linalg.norm(detected_embs, axis=-1, keepdims=True), 1e-12)
-        closest = np.zeros((len(d_norm), len(self.memory)), np.float32)
-        for j, m in enumerate(self.memory):
-            ex = np.stack(m.embeddings).reshape(len(m.embeddings), -1)
-            ex = ex / np.maximum(np.linalg.norm(ex, axis=-1, keepdims=True), 1e-12)
-            closest[:, j] = (d_norm @ ex.T).max(-1)
+            best = int(out["best"])
+            if not assn_valid[best]:
+                return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
+            best_assn = decode(best)
+            localised_pose = np.asarray(out["pose7"], np.float64)
 
-        self._log(f"Getting assignments, sims shape {closest.shape}")
-        sv = SimVolume(closest)
-        sv.fast_construct_volume(min(len(det_np), 3))
-        assns = sv.get_top_indices_from_subvolumes(num_per_length=4)
-        self._log(f"Assignments being considered: {assns}")
-
-        mem_np = [o._numpy_cloud() for o in self.memory]
-
-        # full clouds for global evaluation (object_memory.py:1000-1016)
-        all_det_pts = np.concatenate([p for p, _ in det_np])
-        all_det_cols = np.concatenate([c for _, c in det_np])
-        all_mem_pts = np.concatenate([p for p, _ in mem_np])
-        all_mem_cols = np.concatenate([c for _, c in mem_np])
-        sd_pts, sd_cols = _subsample_points(all_det_pts, all_det_cols, EVAL_CAPACITY)
-        sm_pts, sm_cols = _subsample_points(all_mem_pts, all_mem_cols, EVAL_CAPACITY)
-        all_det = PointCloud.from_numpy(sd_pts, sd_cols, capacity=EVAL_CAPACITY)
-        all_mem = PointCloud.from_numpy(sm_pts, sm_cols, capacity=EVAL_CAPACITY)
-
-        # --- batch ALL assignment registrations into one device call --------
-        # (the TPU-first restructuring of the reference's per-assignment loop,
-        # object_memory.py:1020-1106: A assignments vmap across the chip)
-        batch_entries = []
-        for assn in assns:
-            chosen_det = np.concatenate([det_np[d][0] for d, _ in assn])
-            chosen_det_c = np.concatenate([det_np[d][1] for d, _ in assn])
-            chosen_mem = np.concatenate([mem_np[m][0] for _, m in assn])
-            chosen_mem_c = np.concatenate([mem_np[m][1] for _, m in assn])
-            if len(chosen_det) < 3 or len(chosen_mem) < 3:
-                continue
-            detected_mean = chosen_det.mean(0)
-            memory_mean = chosen_mem.mean(0)
-            cd, cdc = _subsample_points(chosen_det - detected_mean, chosen_det_c,
-                                        REGISTRATION_CAPACITY)
-            cm, cmc = _subsample_points(chosen_mem - memory_mean, chosen_mem_c,
-                                        REGISTRATION_CAPACITY)
-            # candidate init: Kabsch on the assigned objects' centroids —
-            # correspondence-free coarse alignment where FPFH is degenerate
-            if len(assn) >= 2:
-                det_cent = np.stack([det_np[d][0].mean(0) - detected_mean
-                                     for d, _ in assn])
-                mem_cent = np.stack([mem_np[m][0].mean(0) - memory_mean
-                                     for _, m in assn])
-                init_T = kabsch_numpy(det_cent, mem_cent)
-                has_init = True
-            else:
-                init_T = np.eye(4, dtype=np.float32)
-                has_init = False
-            batch_entries.append(dict(
-                assn=assn, cd=cd, cdc=cdc, cm=cm, cmc=cmc,
-                detected_mean=detected_mean, memory_mean=memory_mean,
-                init_T=init_T, has_init=has_init))
-
-        if not batch_entries:
-            return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
-
-        cap = REGISTRATION_CAPACITY
-        a_real = len(batch_entries)
-        a_pad = max(4, 1 << (a_real - 1).bit_length())  # jit-cache bucket
-
-        def pack(key_pts, key_cols):
-            pts = np.zeros((a_pad, cap, 3), np.float32)
-            cols = np.zeros((a_pad, cap, 3), np.float32)
-            msk = np.zeros((a_pad, cap), bool)
-            for i, e in enumerate(batch_entries):
-                n = len(e[key_pts])
-                pts[i, :n] = e[key_pts]
-                cols[i, :n] = e[key_cols]
-                msk[i, :n] = True
-            return PointCloud(jnp.asarray(pts), jnp.asarray(cols),
-                              jnp.asarray(msk))
-
-        src_b = pack("cd", "cdc")
-        tgt_b = pack("cm", "cmc")
-        init_b = np.stack([e["init_T"] for e in batch_entries]
-                          + [np.eye(4, dtype=np.float32)] * (a_pad - a_real))
-        has_init_b = np.array([e["has_init"] for e in batch_entries]
-                              + [False] * (a_pad - a_real))
-        dmeans = np.stack([e["detected_mean"] for e in batch_entries]
-                          + [np.zeros(3)] * (a_pad - a_real)).astype(np.float32)
-        mmeans = np.stack([e["memory_mean"] for e in batch_entries]
-                          + [np.zeros(3)] * (a_pad - a_real)).astype(np.float32)
-
-        transforms, rmses, fitnesses, full_rmses, full_fitnesses = \
-            register_assignments_batched(
-                src_b, tgt_b, init_b, has_init_b, dmeans, mmeans,
-                all_det, all_mem, voxel_size=fpfh_voxel_size,
-                global_dist_factor=fpfh_global_dist_factor,
-                local_dist_factor=fpfh_local_dist_factor)
-
-        # host-side: global consistency gate + result records
-        top1 = np.argmax(closest, axis=1)
-        det_cents_all = np.stack([det_np[d][0].mean(0) for d in range(len(det_np))])
-        mem_cents_top1 = np.stack([mem_np[top1[d]][0].mean(0)
-                                   for d in range(len(det_np))])
-        results = []
-        for i, e in enumerate(batch_entries):
-            transform = transforms[i]
-            fitness = float(fitnesses[i])
-            # geometric consistency gate (TPU build extra): a valid pose must
-            # map EVERY detection's centroid near its top-1 embedding match
-            # (median over detections — robust to a minority of bad matches);
-            # it also constrains single-pair assignments whose own
-            # registration is underdetermined.
-            R_g = transform[:3, :3]
-            t_g = transform[:3, 3]
-            moved = (det_cents_all - e["detected_mean"]) @ R_g.T + t_g
-            cen_errs = np.linalg.norm(
-                moved - (mem_cents_top1 - e["memory_mean"]), axis=1)
-            full_fitness = float(full_fitnesses[i])
-            if float(np.median(cen_errs)) > centroid_gate:
-                fitness = -1.0
-                full_fitness = -1.0
-            results.append(dict(assn=e["assn"], transform=transform,
-                                detected_mean=e["detected_mean"],
-                                memory_mean=e["memory_mean"],
-                                rmse=float(rmses[i]), fitness=fitness,
-                                full_rmse=float(full_rmses[i]),
-                                full_fitness=full_fitness))
-
-        if not results:
-            return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
-
-        results.sort(key=lambda r: r["full_fitness"], reverse=True)  # :1111-1119
-        for r in results:
-            self._log(f"Assn: {r['assn']} | chosen RMSE: {r['rmse']:.4f} | "
-                      f"full RMSE: {r['full_rmse']:.4f} | chosen fitness: {r['fitness']:.4f} | "
-                      f"full fitness: {r['full_fitness']:.4f}")
-
-        best = results[0]
-        R = best["transform"][:3, :3]
-        t = best["transform"][:3, 3]
-        # compose with the BEST assignment's means (reference bug fixed — see
-        # module docstring)
-        tAvg = t + best["memory_mean"] - R @ best["detected_mean"]
-        from scipy.spatial.transform import Rotation as _Rot
-        qAvg = _Rot.from_matrix(np.asarray(R, np.float64)).as_quat()
-        localised_pose = np.concatenate([tAvg, qAvg])
-
-        best_assn = best["assn"]
-        moved = [n for n in range(len(det_np))
-                 if n not in [d for d, _ in best_assn]]
-
-        if save_point_clouds:
-            from ..utils.ply import write_ply
-            subsave = os.path.join(save_root, testname, str(subtest_name))
-            os.makedirs(subsave, exist_ok=True)
-            write_ply(os.path.join(subsave, "_init_pcd.ply"),
-                      np.concatenate([all_det_pts, all_mem_pts]),
-                      np.concatenate([all_det_cols, all_mem_cols]))
-            moved_det = ((all_det_pts - best["detected_mean"]) @ R.T + t
-                         + best["memory_mean"])
-            write_ply(os.path.join(subsave, f"_best_full_pcd{best_assn}.ply"),
-                      np.concatenate([all_mem_pts, moved_det]))
+            if save_point_clouds:
+                self._save_debug_clouds(pack, out, best, best_assn,
+                                        testname, subtest_name, save_root)
 
         self._log(f"Best assn: {best_assn}")
         return localised_pose, [best_assn, None]
+
+    def _save_debug_clouds(self, pack, out, best, best_assn,
+                           testname, subtest_name, save_root):
+        """Debug ply dumps (reference object_memory.py:946-966,1139-1161);
+        uses the evaluation subsample of the detected cloud that the fused
+        program already returns — opt-in only."""
+        from ..utils.ply import write_ply
+
+        subsave = os.path.join(save_root, testname, str(subtest_name))
+        os.makedirs(subsave, exist_ok=True)
+        det_pts = out["eval_det_pts"][out["eval_det_msk"]]
+        mem_pts = np.asarray(pack["eval_pts"])[np.asarray(pack["eval_msk"])]
+        write_ply(os.path.join(subsave, "_init_pcd.ply"),
+                  np.concatenate([det_pts, mem_pts]))
+        gT = out["transform"][best]
+        moved_det = det_pts @ gT[:3, :3].T + gT[:3, 3]
+        write_ply(os.path.join(subsave, f"_best_full_pcd{best_assn}.ply"),
+                  np.concatenate([mem_pts, moved_det]))

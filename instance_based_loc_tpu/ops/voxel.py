@@ -65,3 +65,34 @@ def voxel_downsample_points(points: jax.Array, mask: jax.Array, voxel_size):
     cloud = PointCloud(points, jnp.zeros_like(points), mask)
     out = voxel_downsample(cloud, voxel_size)
     return out.points, out.mask
+
+
+def voxel_downsample_numpy(points, colors, voxel_size):
+    """Host-side colour-preserving voxel mean (same semantics as the device
+    kernel; used by memory consolidation where clouds live on host — routing
+    small irregular bookkeeping through a tunneled device costs ~32 ms per
+    touch). Prefers the native C++ helper, falls back to numpy segment sums.
+    Returns (points (K, 3), colors (K, 3))."""
+    import numpy as np
+
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    colors = (np.zeros_like(points) if colors is None
+              else np.asarray(colors, np.float32).reshape(-1, 3))
+    if len(points) == 0:
+        return points, colors
+
+    from .native import voxel_downsample_native
+    out = voxel_downsample_native(points, colors, voxel_size)
+    if out is not None:
+        return out
+
+    keys = np.floor(points / np.float32(voxel_size)).astype(np.int64)
+    _, inv = np.unique(keys, axis=0, return_inverse=True)
+    k = int(inv.max()) + 1
+    counts = np.bincount(inv, minlength=k).astype(np.float32)[:, None]
+    sum_pts = np.zeros((k, 3), np.float64)
+    sum_cols = np.zeros((k, 3), np.float64)
+    np.add.at(sum_pts, inv, points)
+    np.add.at(sum_cols, inv, colors)
+    return ((sum_pts / counts).astype(np.float32),
+            (sum_cols / counts).astype(np.float32))
