@@ -27,7 +27,16 @@ def build_detector(args):
         return ColorRegionDetector(min_area=args.min_region_area)
     if args.detector == "cascade":
         from ..models.cascade import build_cascade_detector
-        return build_cascade_detector()
+        if not (args.ram_checkpoint or args.gdino_checkpoint
+                or args.sam_checkpoint):
+            raise SystemExit(
+                "--detector cascade without any checkpoint degenerates to one "
+                "full-image box per keyword (useless). Pass --ram-checkpoint/"
+                "--gdino-checkpoint/--sam-checkpoint, or use --detector color.")
+        return build_cascade_detector(ram_checkpoint=args.ram_checkpoint,
+                                      gdino_checkpoint=args.gdino_checkpoint,
+                                      sam_checkpoint=args.sam_checkpoint,
+                                      gdino_vocab=args.gdino_vocab)
     raise ValueError(f"unknown detector {args.detector}")
 
 
@@ -130,8 +139,14 @@ def make_parser():
     p.add_argument("-e", "--eval-img-inds", type=int, nargs="+", default=[4])
     p.add_argument("--embeddings", type=str, default="dino",
                    help="clip | dino | vit | dator | color | dummy")
-    p.add_argument("--detector", type=str, default="cascade",
-                   help="cascade (RAM+GroundingDINO+SAM) | color (weights-free)")
+    p.add_argument("--detector", type=str, default="color",
+                   help="cascade (RAM+GroundingDINO+SAM; requires checkpoints)"
+                        " | color (weights-free default)")
+    p.add_argument("--ram-checkpoint", type=str, default=None)
+    p.add_argument("--gdino-checkpoint", type=str, default=None)
+    p.add_argument("--gdino-vocab", type=str, default=None,
+                   help="BERT vocab.txt for the grounder's tokenizer")
+    p.add_argument("--sam-checkpoint", type=str, default=None)
     p.add_argument("--focal-length-x", "--focal-length", type=float, default=300.0,
                    dest="focal_length_x")
     p.add_argument("--focal-length-y", type=float, default=None)

@@ -123,6 +123,7 @@ class CascadeDetector:
 def build_cascade_detector(ram_checkpoint: str | None = None,
                            gdino_checkpoint: str | None = None,
                            sam_checkpoint: str | None = None,
+                           gdino_vocab: str | None = None,
                            **kwargs) -> CascadeDetector:
     """Assemble the neural cascade: RAM tagger (models/ram.py) ->
     GroundingDINO-style grounder (models/gdino.py) -> SAM segmenter
@@ -137,7 +138,8 @@ def build_cascade_detector(ram_checkpoint: str | None = None,
 
     segmenter = build_sam_segmenter(sam_checkpoint)
     ram_tagger = build_ram_tagger(ram_checkpoint)
-    gdino = build_gdino_grounder(gdino_checkpoint) if gdino_checkpoint else None
+    gdino = (build_gdino_grounder(gdino_checkpoint, vocab_path=gdino_vocab)
+             if gdino_checkpoint else None)
 
     def tagger(img):
         tags = ram_tagger(img)

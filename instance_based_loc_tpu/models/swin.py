@@ -1,11 +1,22 @@
-"""Swin Transformer backbone in flax — shared by the cascade's two remaining
-neural stages: RAM tagging uses Swin-L at 384^2 and GroundingDINO detection
-uses Swin-B (reference `object_finder.py:98-106`; SURVEY.md §2.2).
+"""Swin Transformer backbone in flax — shared by the cascade's two neural
+towers: RAM tagging uses Swin-L at 384^2 and GroundingDINO detection uses
+Swin-B (reference `object_finder.py:98-106`; SURVEY.md §2.2).
 
-Standard Swin v1: 4x4 patch embed, stages of shifted-window attention blocks
-with learned relative-position bias tables, patch-merging downsampling
-between stages. Returns the per-stage feature pyramids GroundingDINO's
-deformable encoder consumes, plus the pooled feature RAM's tagging head uses.
+Numerically matches the Hugging Face `SwinModel`/`SwinBackbone`
+implementation (the layout the official GroundingDINO/RAM checkpoints are
+distributed in), so `port_hf_swin_params` round-trips real weights:
+
+* per-BLOCK zero-padding of the feature map to window multiples (pad values
+  are reset each block, not carried through a stage);
+* `always_partition` semantics — window size and shift are never shrunk to
+  the input resolution (the backbone path used by GroundingDINO);
+* shifted-window attention mask built on the PADDED dims with fill -100.0;
+* patch-merge quadrant order (r0c0, r1c0, r0c1, r1c1) then LayerNorm(4C)
+  then Linear(4C->2C, no bias);
+* separate per-out-stage LayerNorms (`hidden_states_norms`) applied to the
+  pyramid features when `backbone_norms=True`.
+
+All shapes are static under jit; padding decisions happen at trace time.
 """
 
 from __future__ import annotations
@@ -27,12 +38,14 @@ class SwinConfig:
     num_heads: tuple = (4, 8, 16, 32)
     window: int = 7
     mlp_ratio: float = 4.0
+    backbone_norms: bool = False               # per-stage output LayerNorms
     dtype: jnp.dtype = jnp.float32
 
 
 SWIN_B = SwinConfig()
 SWIN_L = SwinConfig(embed_dim=192, num_heads=(6, 12, 24, 48), window=12,
                     img_size=384)
+SWIN_T = SwinConfig(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24))
 
 
 def _rel_bias_index(window: int) -> np.ndarray:
@@ -78,7 +91,8 @@ class WindowAttention(nn.Module):
 
 
 def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> jnp.ndarray:
-    """Mask so shifted windows don't attend across wrap boundaries."""
+    """Mask so shifted windows don't attend across wrap boundaries.
+    h, w are the PADDED dims; fill value -100.0 matches HF Swin."""
     img = np.zeros((h, w), np.int32)
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
@@ -88,7 +102,7 @@ def _shift_attn_mask(h: int, w: int, window: int, shift: int) -> jnp.ndarray:
     img = img.reshape(h // window, window, w // window, window)
     img = img.transpose(0, 2, 1, 3).reshape(-1, window * window)
     diff = img[:, :, None] != img[:, None, :]
-    return jnp.where(jnp.asarray(diff), -1e9, 0.0)
+    return jnp.where(jnp.asarray(diff), -100.0, 0.0)
 
 
 class SwinBlock(nn.Module):
@@ -101,27 +115,35 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: (B, H, W, C) with H, W multiples of window."""
+        """x: (B, H, W, C). Pads to window multiples internally (per block,
+        matching HF Swin where pad values never persist across blocks)."""
         b, h, w, c = x.shape
         win = self.window
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        pad_h = (-h) % win
+        pad_w = (-w) % win
+        hp, wp = h + pad_h, w + pad_w
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         if self.shift:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
-            mask = _shift_attn_mask(h, w, win, self.shift)
+            mask = _shift_attn_mask(hp, wp, win, self.shift)
         else:
             mask = None
-        xw = x.reshape(b, h // win, win, w // win, win, c)
+        xw = x.reshape(b, hp // win, win, wp // win, win, c)
         xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
         xw = WindowAttention(self.dim, self.heads, win, self.dtype,
                              name="attn")(xw, mask)
-        x = xw.reshape(b, h // win, w // win, win, win, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+        x = xw.reshape(b, hp // win, wp // win, win, win, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
         if self.shift:
             x = jnp.roll(x, (self.shift, self.shift), axis=(1, 2))
+        if pad_h or pad_w:
+            x = x[:, :h, :w]
         x = shortcut + x
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
@@ -134,9 +156,12 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(name="norm")(x)
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        # HF Swin quadrant order: (r0c0, r1c0, r0c1, r1c1)
+        x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -147,32 +172,104 @@ class SwinTransformer(nn.Module):
     @nn.compact
     def __call__(self, images):
         """images (B, H, W, 3) -> dict with per-stage pyramids
-        ("c2".."c5", strides 4/8/16/32) and "pooled" (B, C_final)."""
+        ("c2".."c5", strides 4/8/16/32, features BEFORE downsampling,
+        per-stage LayerNorm applied when cfg.backbone_norms) and "pooled"
+        (B, C_final)."""
         c = self.cfg
+        b, ih, iw, _ = images.shape
+        pad_h = (-ih) % c.patch_size
+        pad_w = (-iw) % c.patch_size
+        if pad_h or pad_w:
+            images = jnp.pad(images, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         x = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size),
                     strides=(c.patch_size, c.patch_size), padding="VALID",
                     dtype=c.dtype, name="patch_embed")(images.astype(c.dtype))
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         feats = {}
         dim = c.embed_dim
         for stage, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
-            # pad spatial dims to window multiples for this stage
-            b, h, w, _ = x.shape
-            pad_h = (-h) % c.window
-            pad_w = (-w) % c.window
-            if pad_h or pad_w:
-                x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             for i in range(depth):
                 shift = 0 if i % 2 == 0 else c.window // 2
                 x = SwinBlock(dim, heads, c.window, shift, c.mlp_ratio,
                               c.dtype, name=f"stage{stage}_block{i}")(x)
-            x = x[:, :h, :w]
-            feats[f"c{stage + 2}"] = x
+            out = x
+            if c.backbone_norms:
+                out = nn.LayerNorm(epsilon=1e-5, name=f"outnorm{stage}")(out)
+            feats[f"c{stage + 2}"] = out
             if stage < len(c.depths) - 1:
                 x = PatchMerging(c.dtype, name=f"merge{stage}")(x)
                 dim *= 2
 
-        pooled = nn.LayerNorm(name="final_norm")(feats[f"c{len(c.depths) + 1}"])
+        pooled = nn.LayerNorm(epsilon=1e-5, name="final_norm")(x)
         feats["pooled"] = jnp.mean(pooled, axis=(1, 2))
         return feats
+
+
+def port_hf_swin_params(state_dict, cfg: SwinConfig, prefix: str = "",
+                        stage_names=None):
+    """Map a Hugging Face SwinModel/SwinBackbone torch state_dict into this
+    module's flax params (values as numpy). `prefix` addresses nested dicts
+    (e.g. "model.backbone.conv_encoder.model." inside a GroundingDINO
+    checkpoint). HF stores separate query/key/value Linears; this module uses
+    one fused qkv Dense — weights are concatenated. Torch Linear weights are
+    (out, in) and transpose to flax (in, out); conv kernels OIHW -> HWIO."""
+
+    def t(name):
+        w = np.asarray(state_dict[prefix + name], np.float32)
+        return w
+
+    def lin(name):
+        return {"kernel": t(name + ".weight").T, "bias": t(name + ".bias")}
+
+    def ln(name):
+        return {"scale": t(name + ".weight"), "bias": t(name + ".bias")}
+
+    p = {
+        "patch_embed": {
+            "kernel": t("embeddings.patch_embeddings.projection.weight")
+            .transpose(2, 3, 1, 0),
+            "bias": t("embeddings.patch_embeddings.projection.bias")},
+        "patch_norm": ln("embeddings.norm"),
+    }
+    for s, depth in enumerate(cfg.depths):
+        for i in range(depth):
+            base = f"encoder.layers.{s}.blocks.{i}."
+            qkv_w = np.concatenate(
+                [t(base + f"attention.self.{n}.weight") for n in
+                 ("query", "key", "value")], axis=0)
+            qkv_b = np.concatenate(
+                [t(base + f"attention.self.{n}.bias") for n in
+                 ("query", "key", "value")], axis=0)
+            p[f"stage{s}_block{i}"] = {
+                "norm1": ln(base + "layernorm_before"),
+                "attn": {
+                    "qkv": {"kernel": qkv_w.T, "bias": qkv_b},
+                    "rel_bias_table": t(
+                        base + "attention.self.relative_position_bias_table"),
+                    "proj": lin(base + "attention.output.dense"),
+                },
+                "norm2": ln(base + "layernorm_after"),
+                "fc1": lin(base + "intermediate.dense"),
+                "fc2": lin(base + "output.dense"),
+            }
+        if s < len(cfg.depths) - 1:
+            base = f"encoder.layers.{s}.downsample."
+            p[f"merge{s}"] = {
+                "norm": ln(base + "norm"),
+                "reduction": {"kernel": t(base + "reduction.weight").T},
+            }
+    if cfg.backbone_norms:
+        if stage_names is None:
+            stage_names = [f"stage{s + 1}" for s in range(len(cfg.depths))]
+        for s, sn in enumerate(stage_names):
+            key = f"hidden_states_norms.{sn}"
+            if prefix + key + ".weight" in state_dict:
+                p[f"outnorm{s}"] = ln(key)
+    if prefix + "layernorm.weight" in state_dict:
+        p["final_norm"] = ln("layernorm")
+    else:
+        shape = (cfg.embed_dim * 2 ** (len(cfg.depths) - 1),)
+        p["final_norm"] = {"scale": np.ones(shape, np.float32),
+                           "bias": np.zeros(shape, np.float32)}
+    return p

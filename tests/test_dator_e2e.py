@@ -10,6 +10,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def reid_dataset(tmp_path_factory):

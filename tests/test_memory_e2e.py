@@ -14,6 +14,8 @@ from instance_based_loc_tpu.models.embedders import get_embedder
 from instance_based_loc_tpu.ops.transforms import quaternion_error
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow
+
 FOCAL = 200.0
 H, W = 160, 220
 

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 from instance_based_loc_tpu.models.swin import (
     SwinTransformer, SwinConfig, _shift_attn_mask, _rel_bias_index)
 
+pytestmark = pytest.mark.slow
+
 
 TINY_SWIN = SwinConfig(img_size=32, patch_size=4, embed_dim=16,
                        depths=(2, 2), num_heads=(2, 4), window=4)
@@ -32,7 +34,7 @@ def test_swin_pyramid_shapes(rng):
 def test_swin_shift_mask_blocks_cross_region():
     mask = np.asarray(_shift_attn_mask(8, 8, 4, 2))
     assert mask.shape == (4, 16, 16)
-    assert (mask == 0).any() and (mask < -1e8).any()
+    assert (mask == 0).any() and (mask == -100.0).any()  # HF Swin fill value
     # mask is symmetric per window
     np.testing.assert_allclose(mask, mask.transpose(0, 2, 1))
 
@@ -52,29 +54,10 @@ def test_ram_tagger_weights_free_contract():
     assert tags == []  # cascade then relies on explicit captions
 
 
-def test_gdino_structural(rng):
-    from instance_based_loc_tpu.models.gdino import (
-        GroundingDetector, GDinoConfig)
-    from instance_based_loc_tpu.models import swin as swin_mod
-
-    cfg = GDinoConfig(img_size=32, model_dim=32, num_queries=8, num_heads=4,
-                      num_points=2, decoder_layers=2, text_dim=16)
-    # shrink the backbone for the test
-    orig = swin_mod.SWIN_B
-    swin_mod.SWIN_B = dataclasses.replace(
-        orig, embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8),
-        window=2, img_size=32)
-    try:
-        model = GroundingDetector(cfg)
-        img = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
-        text = jnp.asarray(rng.normal(size=(1, 16)), jnp.float32)
-        params = model.init(jax.random.PRNGKey(0), img, text)
-        boxes, scores = model.apply(params, img, text)
-        assert boxes.shape == (1, 8, 4)
-        assert scores.shape == (1, 8)
-        assert ((np.asarray(boxes) >= 0) & (np.asarray(boxes) <= 1)).all()
-        # text conditioning changes outputs
-        boxes2, _ = model.apply(params, img, text * 2.0 + 1.0)
-        assert np.abs(np.asarray(boxes) - np.asarray(boxes2)).max() > 1e-6
-    finally:
-        swin_mod.SWIN_B = orig
+def test_gdino_weights_free_contract():
+    """Without a checkpoint the grounder returns (None, None) so the cascade
+    falls back (full architecture parity lives in test_gdino_parity.py)."""
+    from instance_based_loc_tpu.models.gdino import build_gdino_grounder
+    grounder = build_gdino_grounder(None)
+    boxes, scores = grounder(np.zeros((48, 64, 3), np.uint8), "chair")
+    assert boxes is None and scores is None

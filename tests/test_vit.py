@@ -11,6 +11,8 @@ from instance_based_loc_tpu.models.vit import (
     ViT, ViTConfig, port_hf_vit_params, port_hf_dinov2_params,
     port_hf_clip_vision_params)
 
+pytestmark = pytest.mark.slow
+
 
 TINY = dict(image_size=32, patch_size=8, hidden_size=32, num_layers=2,
             num_heads=4, mlp_dim=64)
