@@ -36,7 +36,8 @@ def build_detector(args):
         return build_cascade_detector(ram_checkpoint=args.ram_checkpoint,
                                       gdino_checkpoint=args.gdino_checkpoint,
                                       sam_checkpoint=args.sam_checkpoint,
-                                      gdino_vocab=args.gdino_vocab)
+                                      gdino_vocab=args.gdino_vocab,
+                                      ram_tag_list=args.ram_tag_list)
     raise ValueError(f"unknown detector {args.detector}")
 
 
@@ -146,6 +147,8 @@ def make_parser():
     p.add_argument("--gdino-checkpoint", type=str, default=None)
     p.add_argument("--gdino-vocab", type=str, default=None,
                    help="BERT vocab.txt for the grounder's tokenizer")
+    p.add_argument("--ram-tag-list", type=str, default=None,
+                   help="ram_tag_list.txt (index-aligned with the checkpoint)")
     p.add_argument("--sam-checkpoint", type=str, default=None)
     p.add_argument("--focal-length-x", "--focal-length", type=float, default=300.0,
                    dest="focal_length_x")

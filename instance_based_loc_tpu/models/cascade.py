@@ -124,6 +124,7 @@ def build_cascade_detector(ram_checkpoint: str | None = None,
                            gdino_checkpoint: str | None = None,
                            sam_checkpoint: str | None = None,
                            gdino_vocab: str | None = None,
+                           ram_tag_list: str | None = None,
                            **kwargs) -> CascadeDetector:
     """Assemble the neural cascade: RAM tagger (models/ram.py) ->
     GroundingDINO-style grounder (models/gdino.py) -> SAM segmenter
@@ -137,7 +138,7 @@ def build_cascade_detector(ram_checkpoint: str | None = None,
     from .gdino import build_gdino_grounder
 
     segmenter = build_sam_segmenter(sam_checkpoint)
-    ram_tagger = build_ram_tagger(ram_checkpoint)
+    ram_tagger = build_ram_tagger(ram_checkpoint, tag_list_path=ram_tag_list)
     gdino = (build_gdino_grounder(gdino_checkpoint, vocab_path=gdino_vocab)
              if gdino_checkpoint else None)
 

@@ -157,11 +157,22 @@ class SimpleTokenizer:
 
 
 def build_clip_text_embedder(checkpoint_path: str | None = None,
-                             tokenizer=None, cfg: ClipTextConfig | None = None):
+                             tokenizer=None, cfg: ClipTextConfig | None = None,
+                             vocab_path: str | None = None,
+                             merges_path: str | None = None):
     """Returns text_embed_fn(text: str) -> (projection_dim,) np array, the
-    callable ClipLocObjectMemory.from_object_memory consumes."""
+    callable ClipLocObjectMemory.from_object_memory consumes. With
+    vocab_path + merges_path the real CLIP byte-level BPE (models/bpe.py,
+    parity-tested vs HF CLIPTokenizer) is used; otherwise the deterministic
+    hash fallback keeps weights-free pipelines running."""
     cfg = cfg or ClipTextConfig()
     model = ClipTextEncoder(cfg)
+    if tokenizer is None and vocab_path and merges_path:
+        from .bpe import ClipBPETokenizer
+        bpe = ClipBPETokenizer(vocab_path, merges_path,
+                               context_length=cfg.max_length)
+        tokenizer = lambda texts: np.asarray(
+            [bpe.encode(t) for t in texts], np.int32)
     tok = tokenizer or SimpleTokenizer(cfg.vocab_size, cfg.max_length)
     dummy = jnp.zeros((1, cfg.max_length), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), dummy)

@@ -1,27 +1,43 @@
-"""RAM (Recognize Anything) open-set tagger skeleton — the cascade's stage 1
-(reference: `recognize-anything` submodule, Swin-L at 384^2, producing a
-'a | b | c' tag caption split on '|' — object_finder.py:272-277).
+"""RAM (Recognize Anything) open-set tagger — the cascade's stage 1
+(reference: `recognize-anything` submodule, `ram_swin_large_14m` at 384^2,
+producing an 'a | b | c' tag caption split on '|' — object_finder.py:48-59,
+272-277).
 
-The production RAM couples a Swin-L vision tower with a tag-embedding
-decoder; here the Swin-L tower is the full flax implementation
-(models/swin.py) and the tagging head is a per-tag sigmoid classifier over
-pooled features — the inference contract (image -> list of tag strings over a
-fixed vocabulary with per-tag thresholds) matches, and checkpoint porting of
-the full decoder is the remaining round-2 work. Weights-free runs return an
-empty caption, which the cascade handles by accepting an explicit caption
-(`find(..., caption=[...])`), exactly like the reference's `caption` override.
-"""
+Full inference architecture (Zhang et al., 2023 — query2label tagging):
+
+* Swin-L vision tower at 384^2 (models/swin.py, timm window semantics) —
+  final-stage tokens are LayerNorm'd and a global mean token is prepended
+  (145 x 1536 for Swin-L/384);
+* `image_proj` Linear 1536 -> 512 produces the cross-attention memory;
+* per-tag label embeddings (num_tags x 512, shipped inside the official
+  checkpoint as CLIP-text-derived vectors) pass `wordvec_proj` + relu into
+  768-d query tokens;
+* a 2-layer Q2L decoder (bidirectional self-attention over the tag queries,
+  cross-attention to the image memory, FFN — BERT post-LN layout); layer
+  math is parity-tested against torch BertLayer in
+  tests/test_ram_tagging_head.py;
+* a shared Linear 768 -> 1 scores every tag; sigmoid > per-class threshold
+  (default 0.68) selects the caption tags.
+
+The tag vocabulary (4,585 strings, index-aligned with the checkpoint's
+label_embed rows) is data: pass `tag_list_path` pointing at the official
+`ram_tag_list.txt`. Weights-free runs return an empty caption, which the
+cascade handles by accepting an explicit caption, matching the reference's
+`caption` override."""
 
 from __future__ import annotations
 
-import numpy as np
+import dataclasses
+
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .swin import SwinTransformer, SWIN_L
+from .swin import SwinTransformer, SwinConfig
 
-# A compact indoor-object vocabulary standing in for RAM's 4585-tag list;
-# replace with the full tag list when porting real weights.
+# A compact indoor-object vocabulary standing in for RAM's 4585-tag list
+# when no checkpoint/tag list is provided (weights-free structural runs).
 DEFAULT_TAG_VOCAB = (
     "chair table sofa lamp plant bed cabinet shelf monitor keyboard cup "
     "bottle book box bag pillow curtain door window sink toilet bathtub "
@@ -29,47 +45,194 @@ DEFAULT_TAG_VOCAB = (
     "bin crate barrel toy floor ground wall ceiling person"
 ).split()
 
+RAM_SWIN_L = SwinConfig(embed_dim=192, num_heads=(6, 12, 24, 48), window=12,
+                        img_size=384, adapt_window=True)
+
+
+@dataclasses.dataclass(frozen=True)
+class RamConfig:
+    backbone: SwinConfig = RAM_SWIN_L
+    num_tags: int = 4585
+    label_dim: int = 512          # label embedding / image memory width
+    hidden: int = 768             # decoder query width
+    heads: int = 4
+    layers: int = 2
+    mlp_dim: int = 3072
+
+
+class TagDecoderLayer(nn.Module):
+    """One Q2L layer: self-attn over tag queries, cross-attn to image
+    memory, FFN; post-LayerNorm (BertLayer with add_cross_attention)."""
+    cfg: RamConfig
+
+    @nn.compact
+    def __call__(self, queries, memory):
+        c = self.cfg
+        b, q, d = queries.shape
+        dh = d // c.heads
+
+        def attend(x_q, x_kv, prefix):
+            qh = nn.Dense(d, name=f"{prefix}_query")(x_q).reshape(
+                b, -1, c.heads, dh)
+            kh = nn.Dense(d, name=f"{prefix}_key")(x_kv).reshape(
+                b, -1, c.heads, dh)
+            vh = nn.Dense(d, name=f"{prefix}_value")(x_kv).reshape(
+                b, -1, c.heads, dh)
+            attn = jax.nn.softmax(
+                jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(dh), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, -1, d)
+            return nn.Dense(d, name=f"{prefix}_out")(out)
+
+        queries = nn.LayerNorm(epsilon=1e-12, name="self_norm")(
+            queries + attend(queries, queries, "self"))
+        queries = nn.LayerNorm(epsilon=1e-12, name="cross_norm")(
+            queries + attend(queries, memory, "cross"))
+        h = nn.Dense(c.mlp_dim, name="fc1")(queries)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(d, name="fc2")(h)
+        return nn.LayerNorm(epsilon=1e-12, name="out_norm")(queries + h)
+
+
+class Ram(nn.Module):
+    cfg: RamConfig
+
+    @nn.compact
+    def __call__(self, images):
+        """images (B, S, S, 3) normalized -> per-tag logits (B, num_tags)."""
+        c = self.cfg
+        b = images.shape[0]
+        feats = SwinTransformer(c.backbone, name="backbone")(images)
+        last = feats[f"c{len(c.backbone.depths) + 1}"]
+        # RAM's swin forward: final norm, then prepend the global mean token
+        tokens = nn.LayerNorm(epsilon=1e-5, name="vis_norm")(
+            last.reshape(b, -1, last.shape[-1]))
+        tokens = jnp.concatenate([tokens.mean(axis=1, keepdims=True), tokens],
+                                 axis=1)
+        memory = nn.Dense(c.label_dim, name="image_proj")(tokens)
+
+        label_embed = self.param("label_embed", nn.initializers.normal(0.02),
+                                 (c.num_tags, c.label_dim))
+        queries = jax.nn.relu(
+            nn.Dense(c.hidden, name="wordvec_proj")(label_embed))
+        queries = jnp.broadcast_to(queries[None], (b,) + queries.shape)
+        for i in range(c.layers):
+            queries = TagDecoderLayer(c, name=f"layer{i}")(queries, memory)
+        return nn.Dense(1, name="fc")(queries)[..., 0]
+
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def port_ram_params(checkpoint_path: str, cfg: RamConfig):
+    """Map the official `ram_swin_large_14m.pth` state dict (timm-layout
+    Swin keys under `visual_encoder.*`, Q2L head under `tagging_head.*`)
+    into `Ram` flax params. Returns (params, class_thresholds or None)."""
+    import torch
+    raw = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    sd = raw.get("model", raw)
+    sd = {k: np.asarray(v.numpy() if hasattr(v, "numpy") else v, np.float32)
+          for k, v in sd.items()}
+
+    def lin(k):
+        return {"kernel": sd[k + ".weight"].T, "bias": sd[k + ".bias"]}
+
+    def ln(k):
+        return {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]}
+
+    bb = {
+        "patch_embed": {"kernel": sd["visual_encoder.patch_embed.proj.weight"]
+                        .transpose(2, 3, 1, 0),
+                        "bias": sd["visual_encoder.patch_embed.proj.bias"]},
+        "patch_norm": ln("visual_encoder.patch_embed.norm"),
+    }
+    for s, depth in enumerate(cfg.backbone.depths):
+        for i in range(depth):
+            base = f"visual_encoder.layers.{s}.blocks.{i}."
+            bb[f"stage{s}_block{i}"] = {
+                "norm1": ln(base + "norm1"),
+                "attn": {"qkv": lin(base + "attn.qkv"),
+                         "proj": lin(base + "attn.proj"),
+                         "rel_bias_table": sd[
+                             base + "attn.relative_position_bias_table"]},
+                "norm2": ln(base + "norm2"),
+                "fc1": lin(base + "mlp.fc1"),
+                "fc2": lin(base + "mlp.fc2"),
+            }
+        if s < len(cfg.backbone.depths) - 1:
+            base = f"visual_encoder.layers.{s}.downsample."
+            bb[f"merge{s}"] = {
+                "norm": ln(base + "norm"),
+                "reduction": {"kernel": sd[base + "reduction.weight"].T}}
+    fshape = (cfg.backbone.embed_dim * 2 ** (len(cfg.backbone.depths) - 1),)
+    bb["final_norm"] = {"scale": np.ones(fshape, np.float32),
+                        "bias": np.zeros(fshape, np.float32)}
+
+    p = {"backbone": bb,
+         "vis_norm": ln("visual_encoder.norm"),
+         "image_proj": lin("image_proj"),
+         "label_embed": sd["label_embed"],
+         "wordvec_proj": lin("wordvec_proj"),
+         "fc": lin("fc")}
+    for i in range(cfg.layers):
+        base = f"tagging_head.encoder.layer.{i}."
+        p[f"layer{i}"] = {
+            "self_query": lin(base + "attention.self.query"),
+            "self_key": lin(base + "attention.self.key"),
+            "self_value": lin(base + "attention.self.value"),
+            "self_out": lin(base + "attention.output.dense"),
+            "self_norm": ln(base + "attention.output.LayerNorm"),
+            "cross_query": lin(base + "crossattention.self.query"),
+            "cross_key": lin(base + "crossattention.self.key"),
+            "cross_value": lin(base + "crossattention.self.value"),
+            "cross_out": lin(base + "crossattention.output.dense"),
+            "cross_norm": ln(base + "crossattention.output.LayerNorm"),
+            "fc1": lin(base + "intermediate.dense"),
+            "fc2": lin(base + "output.dense"),
+            "out_norm": ln(base + "output.LayerNorm"),
+        }
+    thresholds = None
+    if "class_threshold" in sd:
+        thresholds = np.asarray(sd["class_threshold"], np.float32)
+    return {"params": p}, thresholds
+
 
 def build_ram_tagger(checkpoint_path: str | None = None,
                      tag_vocab: list[str] | None = None,
+                     tag_list_path: str | None = None,
                      threshold: float = 0.68,
-                     image_size: int = 384):
-    """tagger(rgb) -> list[str] for CascadeDetector."""
-    import dataclasses
-    import flax.linen as nn
+                     image_size: int = 384,
+                     cfg: RamConfig | None = None):
+    """tagger(rgb) -> list[str] for CascadeDetector (reference
+    object_finder.py:272-277 contract)."""
+    if tag_list_path is not None:
+        with open(tag_list_path, encoding="utf-8") as f:
+            vocab = [line.strip() for line in f if line.strip()]
+    else:
+        vocab = list(tag_vocab or DEFAULT_TAG_VOCAB)
 
-    vocab = list(tag_vocab or DEFAULT_TAG_VOCAB)
-    cfg = dataclasses.replace(SWIN_L, img_size=image_size)
+    if checkpoint_path is None:
+        return lambda rgb: []   # cascade falls back to an explicit caption
 
-    class RamHead(nn.Module):
-        @nn.compact
-        def __call__(self, images):
-            feats = SwinTransformer(cfg, name="backbone")(images)
-            logits = nn.Dense(len(vocab), name="tag_head")(feats["pooled"])
-            return logits
-
-    model = RamHead()
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, image_size, image_size, 3), jnp.float32))
-    have_weights = checkpoint_path is not None
-    if have_weights:
-        import pickle
-        with open(checkpoint_path, "rb") as f:
-            params = pickle.load(f)
+    cfg = cfg or dataclasses.replace(
+        RamConfig(), num_tags=len(vocab),
+        backbone=dataclasses.replace(RAM_SWIN_L, img_size=image_size))
+    model = Ram(cfg)
+    params, class_thresholds = port_ram_params(checkpoint_path, cfg)
+    if class_thresholds is None:
+        class_thresholds = np.full((cfg.num_tags,), threshold, np.float32)
 
     @jax.jit
     def apply(img):
         return jax.nn.sigmoid(model.apply(params, img))
 
     def tagger(rgb: np.ndarray) -> list[str]:
-        if not have_weights:
-            return []  # cascade falls back to an explicit caption
         from PIL import Image
         img = np.asarray(Image.fromarray(rgb.astype(np.uint8)).resize(
             (image_size, image_size), Image.BILINEAR), np.float32) / 255.0
-        img = (img - np.array([0.485, 0.456, 0.406])) / np.array(
-            [0.229, 0.224, 0.225])
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
         probs = np.asarray(apply(jnp.asarray(img[None], jnp.float32)))[0]
-        return [vocab[i] for i in np.nonzero(probs > threshold)[0]]
+        return [vocab[i] for i in np.nonzero(probs > class_thresholds)[0]
+                if i < len(vocab)]
 
     return tagger

@@ -44,6 +44,8 @@ class SamConfig:
     prompt_dim: int = 256
     decoder_depth: int = 2
     decoder_heads: int = 8
+    decoder_mlp_dim: int = 2048
+    iou_head_hidden: int = 256
     num_mask_tokens: int = 4
     dtype: jnp.dtype = jnp.float32
 
@@ -186,8 +188,9 @@ class PromptEncoder(nn.Module):
         return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
     def encode_boxes(self, boxes_xyxy, img_size):
-        """(M, 4) pixel boxes -> (M, 2, prompt_dim) corner tokens."""
-        corners = boxes_xyxy.reshape(-1, 2, 2) / img_size
+        """(M, 4) pixel boxes -> (M, 2, prompt_dim) corner tokens
+        (+0.5 pixel-center shift per the official prompt encoder)."""
+        corners = (boxes_xyxy + 0.5).reshape(-1, 2, 2) / img_size
         pe = self._pe(corners)
         pe = pe.at[:, 0].add(self.corner_embed_1)
         pe = pe.at[:, 1].add(self.corner_embed_2)
@@ -200,7 +203,8 @@ class PromptEncoder(nn.Module):
         return self._pe(jnp.stack([gx, gy], axis=-1))   # (g, g, dim)
 
     def __call__(self, boxes_xyxy, img_size, grid):
-        return self.encode_boxes(boxes_xyxy, img_size), self.dense_pe(grid)
+        return (self.encode_boxes(boxes_xyxy, img_size), self.dense_pe(grid),
+                self.no_mask_embed)
 
 
 class TwoWayBlock(nn.Module):
@@ -229,21 +233,21 @@ class TwoWayBlock(nn.Module):
 
         # 1. token self-attention
         q = tokens if self.skip_first_pe else tokens + token_pe
-        tokens = nn.LayerNorm(name="ln1")(tokens + attention(q, q, tokens, "self"))
+        tokens = nn.LayerNorm(epsilon=1e-5, name="ln1")(tokens + attention(q, q, tokens, "self"))
         # 2. token -> image cross attention
         q = tokens + token_pe
         k = image + image_pe
-        tokens = nn.LayerNorm(name="ln2")(
+        tokens = nn.LayerNorm(epsilon=1e-5, name="ln2")(
             tokens + attention(q, k, image, "t2i", downsample=2))
         # 3. MLP
-        h = nn.Dense(2048, name="fc1")(tokens)
+        h = nn.Dense(c.decoder_mlp_dim, name="fc1")(tokens)
         h = jax.nn.relu(h)
-        tokens = nn.LayerNorm(name="ln3")(tokens + nn.Dense(
+        tokens = nn.LayerNorm(epsilon=1e-5, name="ln3")(tokens + nn.Dense(
             c.prompt_dim, name="fc2")(h))
         # 4. image -> token cross attention
         q = image + image_pe
         k = tokens + token_pe
-        image = nn.LayerNorm(name="ln4")(
+        image = nn.LayerNorm(epsilon=1e-5, name="ln4")(
             image + attention(q, k, tokens, "i2t", downsample=2))
         return tokens, image
 
@@ -277,7 +281,22 @@ class MaskDecoder(nn.Module):
         for i in range(c.decoder_depth):
             tok, img = TwoWayBlock(c, skip_first_pe=(i == 0),
                                    name=f"block{i}")(tok, img, tokens, img_pe)
-        tok = nn.LayerNorm(name="final_ln")(tok)
+
+        # final token->image attention (official TwoWayTransformer tail)
+        heads = c.decoder_heads
+        fdim = c.prompt_dim // 2
+        fq = nn.Dense(fdim, name="final_q")(tok + tokens).reshape(
+            m, -1, heads, fdim // heads)
+        fk = nn.Dense(fdim, name="final_k")(img + img_pe).reshape(
+            m, -1, heads, fdim // heads)
+        fv = nn.Dense(fdim, name="final_v")(img).reshape(
+            m, -1, heads, fdim // heads)
+        fattn = jax.nn.softmax(jnp.einsum(
+            "mqhd,mkhd->mhqk", fq / np.sqrt(fdim // heads), fk), axis=-1)
+        fout = jnp.einsum("mhqk,mkhd->mqhd", fattn, fv).reshape(
+            m, tok.shape[1], fdim)
+        tok = tok + nn.Dense(c.prompt_dim, name="final_out")(fout)
+        tok = nn.LayerNorm(epsilon=1e-5, name="final_ln")(tok)
 
         iou_out = tok[:, 0]
         mask_tok_out = tok[:, 1:1 + c.num_mask_tokens]   # (M, n, D)
@@ -285,11 +304,11 @@ class MaskDecoder(nn.Module):
         # upscale image embedding 4x
         img_sp = img.reshape(m, g, g, c.prompt_dim)
         up = nn.ConvTranspose(c.prompt_dim // 4, (2, 2), strides=(2, 2),
-                              name="up1")(img_sp)
-        up = nn.LayerNorm(name="up_ln")(up)
+                              transpose_kernel=True, name="up1")(img_sp)
+        up = nn.LayerNorm(epsilon=1e-5, name="up_ln")(up)
         up = jax.nn.gelu(up, approximate=False)
         up = nn.ConvTranspose(c.prompt_dim // 8, (2, 2), strides=(2, 2),
-                              name="up2")(up)
+                              transpose_kernel=True, name="up2")(up)
         up = jax.nn.gelu(up, approximate=False)           # (M, 4g, 4g, D/8)
 
         # hypernetwork MLPs per mask token
@@ -302,8 +321,9 @@ class MaskDecoder(nn.Module):
         hyper = jnp.stack(hyper, axis=1)                  # (M, n, D/8)
 
         masks = jnp.einsum("mnc,mhwc->mnhw", hyper, up)
-        iou_pred = nn.Dense(c.num_mask_tokens, name="iou_head")(
-            jax.nn.relu(nn.Dense(c.prompt_dim, name="iou_fc")(iou_out)))
+        h = jax.nn.relu(nn.Dense(c.iou_head_hidden, name="iou_fc0")(iou_out))
+        h = jax.nn.relu(nn.Dense(c.iou_head_hidden, name="iou_fc1")(h))
+        iou_pred = nn.Dense(c.num_mask_tokens, name="iou_head")(h)
         return masks, iou_pred
 
 
@@ -320,8 +340,9 @@ class Sam(nn.Module):
         Returns (masks (M, 4g, 4g) logits, iou (M,)) with
         multimask_output=False semantics (mask token 0)."""
         emb = self.image_encoder(image[None])[0]
-        prompts, dense_pe = self.prompt_encoder(boxes_xyxy, self.cfg.img_size,
-                                                self.cfg.grid)
+        prompts, dense_pe, no_mask = self.prompt_encoder(
+            boxes_xyxy, self.cfg.img_size, self.cfg.grid)
+        emb = emb + no_mask[None, None, :]   # dense "no mask" prompt
         masks, iou = self.mask_decoder(emb, dense_pe, prompts)
         return masks[:, 0], iou[:, 0]
 
@@ -380,44 +401,136 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
     return segmenter
 
 
-def port_sam_params(checkpoint_path: str, cfg: SamConfig, init_params):
-    """Load an official sam_vit_*.pth state dict onto this module tree.
-    Structural port — exercised only when a local checkpoint is supplied."""
+def _sam_flax_params(sd, cfg: SamConfig, n):
+    """Build the full flax param tree from a SAM state dict. `n` is a naming
+    table abstracting the two checkpoint layouts (official segment-anything
+    .pth and HF SamModel)."""
+    import numpy as np
+
+    def t(k):
+        return np.asarray(sd[k], np.float32)
+
+    def lin(k):
+        return {"kernel": t(k + ".weight").T, "bias": t(k + ".bias")}
+
+    def ln(k):
+        return {"scale": t(k + ".weight"), "bias": t(k + ".bias")}
+
+    def conv(k):
+        return {"kernel": t(k + ".weight").transpose(2, 3, 1, 0),
+                "bias": t(k + ".bias")}
+
+    def convT(k):
+        # flax ConvTranspose(transpose_kernel=True) kernel is (kh, kw, out, in)
+        return {"kernel": t(k + ".weight").transpose(2, 3, 1, 0),
+                "bias": t(k + ".bias")}
+
+    enc = {
+        "patch_embed": conv(n["patch_embed"]),
+        "pos_embed": t(n["enc"] + "pos_embed"),
+    }
+    for i in range(cfg.encoder_depth):
+        b = n["block"].format(i=i)
+        enc[f"block{i}"] = {
+            "norm1": ln(b + n["bnorm1"]),
+            "norm2": ln(b + n["bnorm2"]),
+            "attn": {"qkv": lin(b + "attn.qkv"),
+                     "proj": lin(b + "attn.proj"),
+                     "rel_pos_h": t(b + "attn.rel_pos_h"),
+                     "rel_pos_w": t(b + "attn.rel_pos_w")},
+            "fc1": lin(b + "mlp.lin1"),
+            "fc2": lin(b + "mlp.lin2"),
+        }
+    for dst, key in (("neck0", n["neck0"]), ("neck1", n["neck1"])):
+        enc[dst] = {"kernel": t(key + ".weight").transpose(2, 3, 1, 0)}
+    enc["neck_ln0"] = ln(n["neck_ln0"])
+    enc["neck_ln1"] = ln(n["neck_ln1"])
+
+    prompt = {
+        "pe_gaussian": t(n["pe_gaussian"]),
+        "corner1": t(n["point_embed"].format(i=2) + ".weight")[0],
+        "corner2": t(n["point_embed"].format(i=3) + ".weight")[0],
+        "no_mask": t(n["prompt"] + "no_mask_embed.weight")[0],
+    }
+
+    dec = {
+        "iou_token": t(n["dec"] + "iou_token.weight"),
+        "mask_tokens": t(n["dec"] + "mask_tokens.weight"),
+        "up1": convT(n["dec"] + n["up1"]),
+        "up_ln": ln(n["dec"] + n["up_ln"]),
+        "up2": convT(n["dec"] + n["up2"]),
+        "final_ln": ln(n["dec"] + "transformer." + n["final_ln"]),
+    }
+    fa = n["dec"] + "transformer.final_attn_token_to_image."
+    for dst, srcname in (("final_q", "q_proj"), ("final_k", "k_proj"),
+                         ("final_v", "v_proj"), ("final_out", "out_proj")):
+        dec[dst] = lin(fa + srcname)
+    for i in range(cfg.decoder_depth):
+        b = n["dec"] + f"transformer.layers.{i}."
+        blk = {}
+        for pre, name in (("self", "self_attn"),
+                          ("t2i", "cross_attn_token_to_image"),
+                          ("i2t", "cross_attn_image_to_token")):
+            for dst, srcname in ((f"{pre}_q", "q_proj"), (f"{pre}_k", "k_proj"),
+                                 (f"{pre}_v", "v_proj"),
+                                 (f"{pre}_out", "out_proj")):
+                blk[dst] = lin(b + f"{name}.{srcname}")
+        for j in range(1, 5):
+            blk[f"ln{j}"] = ln(b + n["dnorm"].format(j=j))
+        blk["fc1"] = lin(b + "mlp.lin1")
+        blk["fc2"] = lin(b + "mlp.lin2")
+        dec[f"block{i}"] = blk
+    for i in range(cfg.num_mask_tokens):
+        h = n["dec"] + f"output_hypernetworks_mlps.{i}."
+        dec[f"hyper{i}_0"] = lin(h + n["ff0"])
+        dec[f"hyper{i}_1"] = lin(h + n["ff1"])
+        dec[f"hyper{i}_out"] = lin(h + n["ff2"])
+    iou = n["dec"] + "iou_prediction_head."
+    dec["iou_fc0"] = lin(iou + n["ff0"])
+    dec["iou_fc1"] = lin(iou + n["ff1"])
+    dec["iou_head"] = lin(iou + n["ff2"])
+
+    return {"params": {"image_encoder": enc, "prompt_encoder": prompt,
+                       "mask_decoder": dec}}
+
+
+_OFFICIAL_NAMES = dict(
+    enc="image_encoder.", patch_embed="image_encoder.patch_embed.proj",
+    block="image_encoder.blocks.{i}.", bnorm1="norm1", bnorm2="norm2",
+    neck0="image_encoder.neck.0", neck_ln0="image_encoder.neck.1",
+    neck1="image_encoder.neck.2", neck_ln1="image_encoder.neck.3",
+    prompt="prompt_encoder.",
+    pe_gaussian="prompt_encoder.pe_layer.positional_encoding_gaussian_matrix",
+    point_embed="prompt_encoder.point_embeddings.{i}",
+    dec="mask_decoder.", dnorm="norm{j}", final_ln="norm_final_attn",
+    up1="output_upscaling.0", up_ln="output_upscaling.1",
+    up2="output_upscaling.3",
+    ff0="layers.0", ff1="layers.1", ff2="layers.2")
+
+_HF_NAMES = dict(
+    enc="vision_encoder.", patch_embed="vision_encoder.patch_embed.projection",
+    block="vision_encoder.layers.{i}.", bnorm1="layer_norm1",
+    bnorm2="layer_norm2",
+    neck0="vision_encoder.neck.conv1", neck_ln0="vision_encoder.neck.layer_norm1",
+    neck1="vision_encoder.neck.conv2", neck_ln1="vision_encoder.neck.layer_norm2",
+    prompt="prompt_encoder.",
+    pe_gaussian="prompt_encoder.shared_embedding.positional_embedding",
+    point_embed="prompt_encoder.point_embed.{i}",
+    dec="mask_decoder.", dnorm="layer_norm{j}",
+    final_ln="layer_norm_final_attn",
+    up1="upscale_conv1", up_ln="upscale_layer_norm", up2="upscale_conv2",
+    ff0="proj_in", ff1="layers.0", ff2="proj_out")
+
+
+def port_sam_params(checkpoint_path: str, cfg: SamConfig, init_params=None):
+    """Load an official `sam_vit_*.pth` state dict (the checkpoint the
+    reference downloads, object_finder.py:116) into flax params."""
     import torch
     sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
-    import flax
-    p = flax.core.unfreeze(init_params)["params"]
+    return _sam_flax_params(sd, cfg, _OFFICIAL_NAMES)
 
-    enc = p["image_encoder"]
-    enc["patch_embed"]["kernel"] = jnp.asarray(
-        sd["image_encoder.patch_embed.proj.weight"].transpose(2, 3, 1, 0))
-    enc["patch_embed"]["bias"] = jnp.asarray(
-        sd["image_encoder.patch_embed.proj.bias"])
-    enc["pos_embed"] = jnp.asarray(sd["image_encoder.pos_embed"])
-    for i in range(cfg.encoder_depth):
-        src = f"image_encoder.blocks.{i}."
-        blk = enc[f"block{i}"]
-        blk["norm1"]["scale"] = jnp.asarray(sd[src + "norm1.weight"])
-        blk["norm1"]["bias"] = jnp.asarray(sd[src + "norm1.bias"])
-        blk["norm2"]["scale"] = jnp.asarray(sd[src + "norm2.weight"])
-        blk["norm2"]["bias"] = jnp.asarray(sd[src + "norm2.bias"])
-        blk["attn"]["qkv"]["kernel"] = jnp.asarray(sd[src + "attn.qkv.weight"].T)
-        blk["attn"]["qkv"]["bias"] = jnp.asarray(sd[src + "attn.qkv.bias"])
-        blk["attn"]["proj"]["kernel"] = jnp.asarray(sd[src + "attn.proj.weight"].T)
-        blk["attn"]["proj"]["bias"] = jnp.asarray(sd[src + "attn.proj.bias"])
-        blk["attn"]["rel_pos_h"] = jnp.asarray(sd[src + "attn.rel_pos_h"])
-        blk["attn"]["rel_pos_w"] = jnp.asarray(sd[src + "attn.rel_pos_w"])
-        blk["fc1"]["kernel"] = jnp.asarray(sd[src + "mlp.lin1.weight"].T)
-        blk["fc1"]["bias"] = jnp.asarray(sd[src + "mlp.lin1.bias"])
-        blk["fc2"]["kernel"] = jnp.asarray(sd[src + "mlp.lin2.weight"].T)
-        blk["fc2"]["bias"] = jnp.asarray(sd[src + "mlp.lin2.bias"])
-    enc["neck0"]["kernel"] = jnp.asarray(
-        sd["image_encoder.neck.0.weight"].transpose(2, 3, 1, 0))
-    enc["neck_ln0"]["scale"] = jnp.asarray(sd["image_encoder.neck.1.weight"])
-    enc["neck_ln0"]["bias"] = jnp.asarray(sd["image_encoder.neck.1.bias"])
-    enc["neck1"]["kernel"] = jnp.asarray(
-        sd["image_encoder.neck.2.weight"].transpose(2, 3, 1, 0))
-    enc["neck_ln1"]["scale"] = jnp.asarray(sd["image_encoder.neck.3.weight"])
-    enc["neck_ln1"]["bias"] = jnp.asarray(sd["image_encoder.neck.3.bias"])
-    return flax.core.freeze({"params": p})
+
+def port_hf_sam_params(state_dict, cfg: SamConfig):
+    """Map a HF `SamModel` torch state_dict into flax params."""
+    return _sam_flax_params(state_dict, cfg, _HF_NAMES)

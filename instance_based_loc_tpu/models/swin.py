@@ -39,6 +39,10 @@ class SwinConfig:
     window: int = 7
     mlp_ratio: float = 4.0
     backbone_norms: bool = False               # per-stage output LayerNorms
+    # HF SwinModel/timm semantics: when min(h, w) <= window, disable the
+    # shift and shrink the window to min(h, w). The SwinBackbone path used
+    # by GroundingDINO runs with always_partition=True instead (False here).
+    adapt_window: bool = False
     dtype: jnp.dtype = jnp.float32
 
 
@@ -75,8 +79,8 @@ class WindowAttention(nn.Module):
 
         table = self.param("rel_bias_table", nn.initializers.truncated_normal(0.02),
                            ((2 * self.window - 1) ** 2, self.heads))
-        idx = jnp.asarray(_rel_bias_index(self.window))
-        bias = table[idx.reshape(-1)].reshape(n, n, self.heads)
+        idx = _rel_bias_index(self.window)   # host numpy, static
+        bias = jnp.asarray(table)[idx.reshape(-1)].reshape(n, n, self.heads)
         attn = attn + bias.transpose(2, 0, 1)[None]
 
         if attn_mask is not None:
@@ -189,9 +193,14 @@ class SwinTransformer(nn.Module):
         feats = {}
         dim = c.embed_dim
         for stage, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
+            win = c.window
+            if c.adapt_window and min(x.shape[1], x.shape[2]) <= win:
+                win = min(x.shape[1], x.shape[2])
             for i in range(depth):
-                shift = 0 if i % 2 == 0 else c.window // 2
-                x = SwinBlock(dim, heads, c.window, shift, c.mlp_ratio,
+                shift = 0 if i % 2 == 0 else win // 2
+                if c.adapt_window and min(x.shape[1], x.shape[2]) <= c.window:
+                    shift = 0
+                x = SwinBlock(dim, heads, win, shift, c.mlp_ratio,
                               c.dtype, name=f"stage{stage}_block{i}")(x)
             out = x
             if c.backbone_norms:
