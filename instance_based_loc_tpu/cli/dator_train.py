@@ -66,6 +66,10 @@ def evaluate(state, sampler, samples, cfg, ablation: str = "both"):
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--pretrained", type=str, default=None,
+                        help="HF ViTModel .bin/.pth to init both towers "
+                             "(reference loads ImageNet weights then freezes "
+                             "all but LoRA)")
     parser.add_argument("opts", nargs="*", help="dotted overrides a.b=c")
     args = parser.parse_args(argv)
 
@@ -93,7 +97,8 @@ def main(argv=None):
     print(f"mesh: {mesh.shape}")
 
     state = create_train_state(model_cfg, cfg.train, jax.random.PRNGKey(0),
-                               cfg.data.height, cfg.data.width)
+                               cfg.data.height, cfg.data.width,
+                               pretrained_path=args.pretrained)
     step_fn = make_pjit_train_step(mesh, state, cfg.train,
                                    (cfg.data.batch_size, cfg.data.height,
                                     cfg.data.width))

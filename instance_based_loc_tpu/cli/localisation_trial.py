@@ -22,6 +22,49 @@ from ..utils.logging import get_mem_stats
 from ..utils.metrics import pose_errors, format_results_report, is_success
 
 
+# Per-dataset tuned defaults, mirroring the reference trial scripts
+# ({tum,real,8room,irl_rrc}_localisation_trial.py argparse blocks; synth uses
+# the committed fixture's focal length 300 and the repo's tuned FPFH factors).
+# Applied only where the user did not pass the flag explicitly.
+CONVENTION_DEFAULTS = {
+    "tum": dict(focal_length_x=525.0, focal_length_y=525.0,
+                start_file_index=0, last_file_index=1500, sampling_period=30,
+                fpfh_global_dist_factor=1.5, fpfh_local_dist_factor=1.5,
+                fpfh_voxel_size=0.05),
+    "real": dict(focal_length_x=385.28887939453125,
+                 focal_length_y=384.3631591796875,
+                 start_file_index=0, last_file_index=1200, sampling_period=40,
+                 fpfh_global_dist_factor=1.5, fpfh_local_dist_factor=1.5,
+                 fpfh_voxel_size=0.05),
+    "8room": dict(focal_length_x=300.0, focal_length_y=300.0,
+                  start_file_index=200, last_file_index=1500,
+                  sampling_period=15,
+                  fpfh_global_dist_factor=1.5, fpfh_local_dist_factor=1.5,
+                  fpfh_voxel_size=0.05),
+    "hm3d": dict(focal_length_x=300.0, focal_length_y=300.0,
+                 start_file_index=0, last_file_index=None, sampling_period=30,
+                 fpfh_global_dist_factor=1.5, fpfh_local_dist_factor=1.5,
+                 fpfh_voxel_size=0.05),
+    "synth": dict(focal_length_x=300.0, focal_length_y=300.0,
+                  start_file_index=0, last_file_index=None, sampling_period=1,
+                  fpfh_global_dist_factor=2.0, fpfh_local_dist_factor=0.4,
+                  fpfh_voxel_size=0.05),
+}
+
+
+def apply_convention_defaults(args):
+    """Fill None-valued flags from the per-convention table. An explicit
+    --focal-length(-x) without -y sets both."""
+    if args.focal_length_y is None and args.focal_length_x is not None:
+        args.focal_length_y = args.focal_length_x
+    for key, val in CONVENTION_DEFAULTS[args.convention].items():
+        if getattr(args, key, None) is None:
+            setattr(args, key, val)
+    if args.focal_length_y is None:
+        args.focal_length_y = args.focal_length_x
+    return args
+
+
 def build_detector(args):
     if args.detector == "color":
         return ColorRegionDetector(min_area=args.min_region_area)
@@ -150,14 +193,14 @@ def make_parser():
     p.add_argument("--ram-tag-list", type=str, default=None,
                    help="ram_tag_list.txt (index-aligned with the checkpoint)")
     p.add_argument("--sam-checkpoint", type=str, default=None)
-    p.add_argument("--focal-length-x", "--focal-length", type=float, default=300.0,
-                   dest="focal_length_x")
+    p.add_argument("--focal-length-x", "--focal-length", type=float,
+                   default=None, dest="focal_length_x")
     p.add_argument("--focal-length-y", type=float, default=None)
     p.add_argument("--map-pcd-cache-path", type=str, default=None)
     p.add_argument("--build-map", action="store_true")
-    p.add_argument("--start-file-index", type=int, default=0)
+    p.add_argument("--start-file-index", type=int, default=None)
     p.add_argument("--last-file-index", type=int, default=None)
-    p.add_argument("--sampling-period", type=int, default=1)
+    p.add_argument("--sampling-period", type=int, default=None)
     p.add_argument("--testname", type=str, default="trial")
     p.add_argument("--out-dir", type=str, default="./out")
     p.add_argument("--load-memory", action="store_true")
@@ -173,9 +216,9 @@ def make_parser():
     p.add_argument("--dbscan-eps", type=float, default=0.05)
     p.add_argument("--dbscan-min-points", type=int, default=50)
     p.add_argument("--iou-threshold", type=float, default=0.25)
-    p.add_argument("--fpfh-global-dist-factor", type=float, default=2.0)
-    p.add_argument("--fpfh-local-dist-factor", type=float, default=0.4)
-    p.add_argument("--fpfh-voxel-size", type=float, default=0.05)
+    p.add_argument("--fpfh-global-dist-factor", type=float, default=None)
+    p.add_argument("--fpfh-local-dist-factor", type=float, default=None)
+    p.add_argument("--fpfh-voxel-size", type=float, default=None)
     p.add_argument("--no-outlier-removal", action="store_true",
                    help="disable radius outlier filtering (coarse synthetic depth)")
     p.add_argument("--quiet", action="store_true")
@@ -183,7 +226,4 @@ def make_parser():
 
 
 if __name__ == "__main__":
-    args = make_parser().parse_args()
-    if args.focal_length_y is None:
-        args.focal_length_y = args.focal_length_x
-    main(args)
+    main(apply_convention_defaults(make_parser().parse_args()))

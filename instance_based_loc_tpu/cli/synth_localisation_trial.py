@@ -51,7 +51,7 @@ def main():
         "--testname", "synth_trial",
         "--out-dir", args.out_dir,
     ])
-    trial_args.focal_length_y = trial_args.focal_length_x
+    trial_args = localisation_trial.apply_convention_defaults(trial_args)
     from ..memory import ColorRegionDetector
     detector = ColorRegionDetector(min_area=80, floor_colors=[scene.floor_color])
     localisation_trial.main(trial_args, detector=detector)

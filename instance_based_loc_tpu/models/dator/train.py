@@ -96,14 +96,40 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
     )
 
 
+def load_pretrained_towers(params, hf_state_dict, backbone_cfg):
+    """Load pretrained ViT weights (HF ViTModel layout) into BOTH stacked
+    FourDNet towers — the reference's ImageNet init before the LoRA-only
+    freeze (make_model.py:466-477; pos-embed resize vit_pytorch.py:484-499).
+    Returns a new full params tree."""
+    import flax
+    from .transreid_vit import port_hf_vit_to_transreid
+    p = flax.core.unfreeze(params)
+    towers = p["params"]["towers"]
+    single = jax.tree.map(lambda x: np.asarray(x)[0], towers)
+    ported = port_hf_vit_to_transreid(hf_state_dict, backbone_cfg,
+                                      {"params": single})["params"]
+    p["params"]["towers"] = jax.tree.map(
+        lambda x: np.broadcast_to(
+            np.asarray(x, np.float32)[None],
+            (2,) + np.asarray(x).shape).copy(), ported)
+    return flax.core.freeze(p) if isinstance(params, flax.core.FrozenDict) \
+        else p
+
+
 def create_train_state(model_cfg: FourDNetConfig, train_cfg: TrainConfig,
-                       rng: jax.Array, height: int = 256, width: int = 128
-                       ) -> TrainState:
+                       rng: jax.Array, height: int = 256, width: int = 128,
+                       pretrained_path: str | None = None) -> TrainState:
     model = FourDNet(model_cfg)
     dummy_rgb = jnp.zeros((2, height, width, 3), jnp.float32)
     dummy_depth = jnp.zeros((2, height, width, 3), jnp.float32)
     params = model.init({"params": rng, "dropout": rng},
                         dummy_rgb, dummy_depth, training=False)
+    if pretrained_path:
+        import torch
+        sd = torch.load(pretrained_path, map_location="cpu",
+                        weights_only=True)
+        sd = {k.removeprefix("vit."): v.numpy() for k, v in sd.items()}
+        params = load_pretrained_towers(params, sd, model_cfg.backbone)
     tx = make_optimizer(train_cfg, params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params), tx=tx, apply_fn=model.apply)

@@ -151,3 +151,66 @@ def lora_param_mask(params) -> dict:
     def mask(path, _leaf):
         return any("lora" in str(p) for p in path)
     return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def resize_pos_embed(pos: np.ndarray, num_y: int, num_x: int) -> np.ndarray:
+    """Bilinear pos-embed grid resize, reference
+    `vit_pytorch.py:484-499` (cls token kept, grid F.interpolate'd
+    bilinear / align_corners=False)."""
+    tok, grid = pos[:, :1], pos[0, 1:]
+    gs = int(np.sqrt(grid.shape[0]))
+    grid = grid.reshape(gs, gs, -1)
+    grid = jax.image.resize(jnp.asarray(grid), (num_y, num_x, grid.shape[-1]),
+                            method="bilinear")
+    grid = np.asarray(grid).reshape(1, num_y * num_x, -1)
+    return np.concatenate([tok, grid], axis=1)
+
+
+def port_hf_vit_to_transreid(state_dict, cfg: TransReIDConfig, init_params):
+    """Load pretrained ViT weights (HF ViTModel layout, e.g.
+    google/vit-base-patch16-224-in21k — the ImageNet init the reference
+    gives both DATOR towers, make_model.py:466-477) into TransReIDViT.
+
+    Handles: fused qkv concat, pos-embed bilinear resize to the
+    (num_y, num_x) overlap-stride grid (vit_pytorch.py:484-499), the final
+    norm only when not local_feature. LoRA adapters and SIE embeddings keep
+    their init (they are the trainable part). Returns a full params dict."""
+    import flax
+    sd = {k: np.asarray(v, np.float32) for k, v in state_dict.items()}
+    p = flax.core.unfreeze(init_params)["params"]
+
+    def lin(k):
+        return {"kernel": sd[k + ".weight"].T, "bias": sd[k + ".bias"]}
+
+    def ln(k):
+        return {"scale": sd[k + ".weight"], "bias": sd[k + ".bias"]}
+
+    p["patch_embed"] = {
+        "kernel": sd["embeddings.patch_embeddings.projection.weight"]
+        .transpose(2, 3, 1, 0),
+        "bias": sd["embeddings.patch_embeddings.projection.bias"]}
+    p["cls_token"] = sd["embeddings.cls_token"]
+    pos = sd["embeddings.position_embeddings"]
+    if pos.shape[1] != cfg.num_patches + 1:
+        pos = resize_pos_embed(pos, cfg.num_y, cfg.num_x)
+    p["pos_embed"] = pos
+
+    n_blocks = cfg.num_layers - (1 if cfg.local_feature else 0)
+    for i in range(n_blocks):
+        pre = f"encoder.layer.{i}."
+        qkv_w = np.concatenate(
+            [sd[pre + f"attention.attention.{n}.weight"] for n in
+             ("query", "key", "value")], axis=0)
+        qkv_b = np.concatenate(
+            [sd[pre + f"attention.attention.{n}.bias"] for n in
+             ("query", "key", "value")], axis=0)
+        blk = p[f"block{i}"]
+        blk["norm1"] = ln(pre + "layernorm_before")
+        blk["norm2"] = ln(pre + "layernorm_after")
+        blk["attn"]["qkv"] = {"kernel": qkv_w.T, "bias": qkv_b}
+        blk["attn"]["proj"] = lin(pre + "attention.output.dense")
+        blk["fc1"] = lin(pre + "intermediate.dense")
+        blk["fc2"] = lin(pre + "output.dense")
+    if not cfg.local_feature and "norm" in p:
+        p["norm"] = ln("layernorm")
+    return {"params": p}
