@@ -57,6 +57,14 @@ ICP_COARSE_ITERS = 15              # quality-critical: convergence of the
 ICP_FINE_ITERS = 30                # final pose (≈0.3 ms/iter on-chip)
 
 
+@jax.jit
+def _pack_f32(leaves):
+    """Flatten heterogeneous outputs into one f32 vector so fetching costs a
+    single host<->device round trip. Ints/bools round-trip exactly through
+    f32 (all are small indices/flags/counts < 2^24)."""
+    return jnp.concatenate([jnp.ravel(x).astype(jnp.float32) for x in leaves])
+
+
 def _subsample_points(pts: np.ndarray, cols: np.ndarray, cap: int, seed: int = 0):
     if len(pts) <= cap:
         return pts, cols
@@ -338,11 +346,19 @@ class ObjectMemory:
         k = len(self.memory)
         if k < 2:
             return
-        cap = round_up_pow2(max(max(o.num_points() for o in self.memory), 8))
+        # The OBB fit (PCA) is statistically identical on a subsample; padding
+        # every object to the LARGEST object's point count makes the device
+        # array K x max_points (a floor cloud at 600^2 is ~300k points ->
+        # multi-GB). Cap per-object points for the fit.
+        cap = round_up_pow2(
+            min(max(max(o.num_points() for o in self.memory), 8), 2048))
+        rng = np.random.default_rng(0)
         pts = np.zeros((k, cap, 3), np.float32)
         msk = np.zeros((k, cap), bool)
         for i, obj in enumerate(self.memory):
             p = obj.points()
+            if len(p) > cap:
+                p = p[rng.choice(len(p), cap, replace=False)]
             pts[i, :len(p)] = p
             msk[i, :len(p)] = True
         ious = np.asarray(pairwise_obb_iou(jnp.asarray(pts), jnp.asarray(msk)))
@@ -466,9 +482,22 @@ class ObjectMemory:
     # ------------------------------------------------------------------ #
     # localise (§3.2; reference object_memory.py:852-1169)
     # ------------------------------------------------------------------ #
-    def localise(self, image_path, depth_image_path,
-                 testname: str = "", subtest_name: str = "",
-                 save_point_clouds: bool = False,
+    def localise(self, image_path, depth_image_path, **kwargs):
+        """Returns (pose7 [x,y,z,qx,qy,qz,qw], [assignment, moved])."""
+        return self.localise_finish(self.localise_dispatch(
+            image_path, depth_image_path, **kwargs))
+
+    def localise_many(self, frames, **kwargs):
+        """Pipelined batch localisation: dispatch every frame's fused device
+        program before fetching any result, so host detection/embedding of
+        frame i+1 overlaps device registration of frame i (the throughput
+        mode; single-frame `localise` is the latency mode). `frames` is a
+        list of (image_path_or_rgb, depth_path_or_depth)."""
+        handles = [self.localise_dispatch(rgb, depth, **kwargs)
+                   for rgb, depth in frames]
+        return [self.localise_finish(h) for h in handles]
+
+    def localise_dispatch(self, image_path, depth_image_path,
                  outlier_removal_config=None,
                  fpfh_global_dist_factor: float = 2.0,
                  fpfh_local_dist_factor: float = 0.4,
@@ -477,8 +506,12 @@ class ObjectMemory:
                  depth_factor: float = 1.0,
                  max_detected_object_num: int = 7,
                  centroid_gate: float = 1.0,
+                 testname: str = "", subtest_name: str = "",
+                 save_point_clouds: bool = False,
                  save_root: str = "pcds"):
-        """Returns (pose7 [x,y,z,qx,qy,qz,qw], [assignment, moved])."""
+        """Host stages + async device dispatch. Returns an opaque handle for
+        localise_finish (jax dispatch is async — the device program runs in
+        the background while the host moves on)."""
         # note: unlike the reference (object_memory.py:880-884, which swaps in
         # its localise default), passing outlier_removal_config=None here
         # means NO outlier removal — needed for coarse-resolution depth where
@@ -491,8 +524,9 @@ class ObjectMemory:
                                            depth_factor)
         with timer.stage("loc.detect"):
             det = self.detector.find(rgb, consider_floor)
+        zero = (np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []])
         if len(det) == 0 or len(self.memory) == 0:
-            return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
+            return {"result": zero}
         with timer.stage("loc.embed"):
             detected_embs = np.asarray(self.get_embeddings_func(
                 detections=det, full_rgb_image=rgb, full_depth_image=depth,
@@ -541,13 +575,46 @@ class ObjectMemory:
                 eval_cap=EVAL_CAPACITY, num_hyp=NUM_HYPOTHESES,
                 icp_coarse_iters=ICP_COARSE_ITERS,
                 icp_fine_iters=ICP_FINE_ITERS)
-            out = jax.device_get(out)
+            # one flat device buffer -> ONE fetch round trip in finish
+            # (a dict device_get costs a tunnel round trip PER leaf: ~15
+            # leaves x ~30 ms RTT dominated the query latency)
+            if not save_point_clouds:
+                out = {k: v for k, v in out.items()
+                       if k not in ("eval_det_pts", "eval_det_msk")}
+            leaves, treedef = jax.tree_util.tree_flatten(out)
+            specs = [(l.shape, l.dtype) for l in leaves]
+            packed = _pack_f32(tuple(leaves))
+        return {"packed": packed, "treedef": treedef, "specs": specs,
+                "pack": pack, "zero": zero,
+                "testname": testname, "subtest_name": subtest_name,
+                "save_point_clouds": save_point_clouds,
+                "save_root": save_root}
+
+    def localise_finish(self, handle):
+        """Fetch + decode a dispatched localisation (the only host sync)."""
+        if "result" in handle:
+            return handle["result"]
+        timer = self.timer
+        pack = handle["pack"]
+        zero = handle["zero"]
+        testname = handle["testname"]
+        subtest_name = handle["subtest_name"]
+        save_point_clouds = handle["save_point_clouds"]
+        save_root = handle["save_root"]
+        with timer.stage("loc.fetch"):
+            flat = np.asarray(handle["packed"])
+            leaves, pos = [], 0
+            for shape, dtype in handle["specs"]:
+                n = int(np.prod(shape)) if shape else 1
+                leaves.append(flat[pos:pos + n].reshape(shape).astype(dtype))
+                pos += n
+            out = jax.tree_util.tree_unflatten(handle["treedef"], leaves)
 
         with timer.stage("loc.finish"):
             n_active = int(out["active"].sum())
             assn_valid = out["assn_valid"]
             if n_active == 0 or not assn_valid.any():
-                return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
+                return zero
 
             def decode(i):
                 pv = out["pair_valid"][i]
@@ -569,7 +636,7 @@ class ObjectMemory:
 
             best = int(out["best"])
             if not assn_valid[best]:
-                return np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []]
+                return zero
             best_assn = decode(best)
             localised_pose = np.asarray(out["pose7"], np.float64)
 

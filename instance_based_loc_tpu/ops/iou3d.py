@@ -220,22 +220,32 @@ def obb_iou(points1, mask1, points2, mask2):
     return jnp.where(empty, 0.0, jnp.clip(iou, 0.0, 1.0))
 
 
-def pairwise_obb_iou(points: jax.Array, masks: jax.Array) -> jax.Array:
+def pairwise_obb_iou(points: jax.Array, masks: jax.Array,
+                     row_tile: int = 32) -> jax.Array:
     """(K, K) IoU matrix over K padded clouds (points (K,N,3), masks (K,N)).
-    Fits each OBB once, then vmaps the clip kernel over all pairs — replaces
-    the reference's nested Python loop over Objectron (object_memory.py:710-722)."""
+    Fits each OBB once, then runs the clip kernel over all pairs — replaces
+    the reference's nested Python loop over Objectron (object_memory.py:710-722).
+
+    The clip kernel carries a (6 faces x 16 verts x 3) polygon state per
+    pair; materializing it for all K^2 pairs at once OOMs HBM for a few
+    hundred objects (pre-cluster memories easily reach that). Rows are
+    therefore processed in `row_tile` blocks via lax.map — peak memory
+    O(row_tile * K), same result."""
     centers, rots, exts = jax.vmap(pca_obb)(points, masks)
+    vols = jax.vmap(obb_volume)(exts)
+    valid = jnp.sum(masks, axis=1) >= 4
 
     def pair(i, j):
         inter = box_intersection_volume(centers[i], rots[i], exts[i],
                                         centers[j], rots[j], exts[j])
-        v1 = obb_volume(exts[i])
-        v2 = obb_volume(exts[j])
-        denom = v1 + v2 - inter
+        denom = vols[i] + vols[j] - inter
         iou = jnp.where(denom > 1e-12, inter / denom, 0.0)
-        empty = (jnp.sum(masks[i]) < 4) | (jnp.sum(masks[j]) < 4)
-        return jnp.where(empty, 0.0, jnp.clip(iou, 0.0, 1.0))
+        return jnp.where(valid[i] & valid[j], jnp.clip(iou, 0.0, 1.0), 0.0)
 
     k = points.shape[0]
-    ii, jj = jnp.meshgrid(jnp.arange(k), jnp.arange(k), indexing="ij")
-    return jax.vmap(jax.vmap(pair))(ii, jj)
+    cols = jnp.arange(k)
+
+    def row(i):
+        return jax.vmap(lambda j: pair(i, j))(cols)
+
+    return jax.lax.map(row, jnp.arange(k), batch_size=min(row_tile, k))

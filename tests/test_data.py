@@ -124,3 +124,25 @@ def test_tum_pose_parsing(tmp_path):
     expected_q = Rotation.from_matrix(Rotation.from_quat(q).as_matrix() @ r2).as_quat()
     assert abs(np.dot(pose[3:], expected_q)) > 1 - 1e-6
     assert ds.depth_factor == 5000.0
+
+
+def test_hm3d_episode_generator_roundtrip(tmp_path):
+    """gen_hm3d_episode writes the hm3d layout; the loader's sign-fix
+    round-trips poses back to the true render poses."""
+    from instance_based_loc_tpu.cli.gen_hm3d_episode import generate_episode
+    from instance_based_loc_tpu.data.loader import RGBDDataset
+
+    out = str(tmp_path / "ep")
+    generate_episode(out, timesteps=6, seed=1, height=60, width=80,
+                     focal=60.0)
+    ds = RGBDDataset(data_path=out, evaluation_indices=[5],
+                     convention="hm3d", focal_length_x=60.0,
+                     focal_length_y=60.0)
+    assert len(ds.environment_indices) == 5
+    rgb_path, depth_path, pose = ds.get_image_data(0)
+    assert rgb_path.endswith(".png") and depth_path.endswith(".npy")
+    depth = ds.load_depth_scaled(0)
+    assert depth.ndim == 2 and np.isfinite(depth).all()
+    assert np.asarray(pose).shape == (7,)
+    # quaternion stays unit after the pose[-2] fix
+    assert abs(np.linalg.norm(np.asarray(pose)[3:]) - 1.0) < 1e-5
