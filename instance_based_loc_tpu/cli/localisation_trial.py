@@ -16,7 +16,7 @@ import os
 import numpy as np
 
 from ..data.loader import RGBDDataset
-from ..memory import ObjectMemory, ColorRegionDetector
+from ..memory import ObjectMemory, ColorRegionDetector, DepthRegionDetector
 from ..models.embedders import get_embedder
 from ..utils.logging import get_mem_stats
 from ..utils.metrics import pose_errors, format_results_report, is_success
@@ -68,6 +68,9 @@ def apply_convention_defaults(args):
 def build_detector(args):
     if args.detector == "color":
         return ColorRegionDetector(min_area=args.min_region_area)
+    if args.detector == "depth":
+        return DepthRegionDetector(args.focal_length_x, args.focal_length_y,
+                                   min_area=max(args.min_region_area, 400))
     if args.detector == "cascade":
         from ..models.cascade import build_cascade_detector
         if not (args.ram_checkpoint or args.gdino_checkpoint
@@ -185,7 +188,8 @@ def make_parser():
                    help="clip | dino | vit | dator | color | dummy")
     p.add_argument("--detector", type=str, default="color",
                    help="cascade (RAM+GroundingDINO+SAM; requires checkpoints)"
-                        " | color (weights-free default)")
+                        " | color (weights-free default) | depth "
+                        "(weights-free geometric segmentation)")
     p.add_argument("--ram-checkpoint", type=str, default=None)
     p.add_argument("--gdino-checkpoint", type=str, default=None)
     p.add_argument("--gdino-vocab", type=str, default=None,

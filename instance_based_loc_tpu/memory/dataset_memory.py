@@ -54,7 +54,9 @@ class ObjectDatasetMemory(ObjectMemory):
 
         rgb, depth = self._load_images(rgb_image_path, depth_image_path,
                                        depth_factor)
-        det = self.detector.find(rgb, consider_floor)
+        det = (self.detector.find(rgb, consider_floor, depth=depth)
+               if getattr(self.detector, "wants_depth", False)
+               else self.detector.find(rgb, consider_floor))
         if len(det) == 0:
             self._log("ObjectDatasetMemory.process_image found nothing")
             return

@@ -171,7 +171,10 @@ class ObjectMemory:
             rgb, depth = self._load_images(rgb_image_path, depth_image_path,
                                            depth_factor)
         with timer.stage("build.detect"):
-            det: Detections = self.detector.find(rgb, consider_floor)
+            det: Detections = (
+                self.detector.find(rgb, consider_floor, depth=depth)
+                if getattr(self.detector, "wants_depth", False)
+                else self.detector.find(rgb, consider_floor))
         if len(det) == 0:
             self._log("ObjectMemory.process_image did NOT find any objects")
             return
@@ -523,7 +526,9 @@ class ObjectMemory:
             rgb, depth = self._load_images(image_path, depth_image_path,
                                            depth_factor)
         with timer.stage("loc.detect"):
-            det = self.detector.find(rgb, consider_floor)
+            det = (self.detector.find(rgb, consider_floor, depth=depth)
+                   if getattr(self.detector, "wants_depth", False)
+                   else self.detector.find(rgb, consider_floor))
         zero = (np.array([0., 0., 0., 0., 0., 0., 1.]), [[], []])
         if len(det) == 0 or len(self.memory) == 0:
             return {"result": zero}

@@ -44,6 +44,7 @@ class ViTConfig:
     use_ln_pre: bool = False          # clip
     use_quick_gelu: bool = False      # openai clip
     projection_dim: Optional[int] = None  # clip visual projection
+    use_pallas_attention: bool = False    # fused VMEM-resident attention
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -68,10 +69,25 @@ class Attention(nn.Module):
         d_head = c.hidden_size // c.num_heads
         qkv = nn.DenseGeneral((3, c.num_heads, d_head), dtype=c.dtype, name="qkv")(x)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        scale = 1.0 / np.sqrt(d_head)
-        attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+        if c.use_pallas_attention and jax.default_backend() == "tpu":
+            from ..ops.pallas.attention import fused_attention
+            # (B, S, H, D) -> (B, H, S, D); pad S to a multiple of 8
+            s = q.shape[-3]
+            pad = (-s) % 8
+            def bhsd(t):
+                t = t.swapaxes(-2, -3)
+                if pad:
+                    t = jnp.pad(t, ((0, 0),) * (t.ndim - 2)
+                                + ((0, pad), (0, 0)))
+                return t
+            out = fused_attention(bhsd(q), bhsd(k), bhsd(v),
+                                  valid_len=jnp.int32(s))
+            out = out[..., :s, :].swapaxes(-2, -3).astype(c.dtype)
+        else:
+            scale = 1.0 / np.sqrt(d_head)
+            attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)
+            out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
         return nn.DenseGeneral(c.hidden_size, axis=(-2, -1), dtype=c.dtype,
                                name="out")(out)
 

@@ -64,6 +64,13 @@ def _masked_subsample(points: jax.Array, valid: jax.Array, cap: int,
     """Pick up to `cap` valid rows uniformly at random (all of them when
     count <= cap). Returns (idx (cap,), keep (cap,)) with valid rows first."""
     scores = jnp.where(valid, jax.random.uniform(key, valid.shape), -jnp.inf)
+    n = scores.shape[0]
+    if cap >= n:   # pool smaller than the budget: take everything, pad
+        top, idx = jax.lax.top_k(scores, n)
+        pad = cap - n
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        top = jnp.concatenate([top, jnp.full((pad,), -jnp.inf, top.dtype)])
+        return idx, jnp.isfinite(top)
     top, idx = jax.lax.top_k(scores, cap)
     return idx, jnp.isfinite(top)
 
@@ -446,14 +453,20 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
             moved - (mem_cent[top1_mem] - mmean), axis=-1)
         med = _masked_median(errs, active)
         gated = med > centroid_gate
+        # The gate is a TPU-build extra (the reference ranks purely by full
+        # fitness, object_memory.py:1111-1119): DEMOTE gated assignments
+        # below every ungated one instead of flattening them all to -1 —
+        # when all candidates are gated (weak embeddings -> unreliable
+        # top-1 matches), geometric fitness still decides.
+        score = jnp.where(gated, full_fitness - 2.0, full_fitness)
         fitness = jnp.where(gated, -1.0, fitness)
-        full_fitness = jnp.where(gated, -1.0, full_fitness)
-        return T, gT, rmse, fitness, full_rmse, full_fitness, dmean, mmean
+        return (T, gT, rmse, fitness, full_rmse, full_fitness, score,
+                dmean, mmean)
 
-    T, gT, rmse, fitness, full_rmse, full_fitness, dmeans, mmeans = jax.vmap(
-        one_assignment)(assn_det, assn_mem, pair_valid, keys)
+    (T, gT, rmse, fitness, full_rmse, full_fitness, scores, dmeans,
+     mmeans) = jax.vmap(one_assignment)(assn_det, assn_mem, pair_valid, keys)
 
-    score = jnp.where(assn_valid, full_fitness, -jnp.inf)
+    score = jnp.where(assn_valid, scores, -jnp.inf)
     best = jnp.argmax(score)
 
     # pose composition from the best assignment's means

@@ -65,3 +65,34 @@ def test_convention_defaults_fill_only_unset():
     assert args.sampling_period == 7
     assert set(CONVENTION_DEFAULTS) == {"tum", "real", "8room", "hm3d",
                                         "synth"}
+
+
+def test_depth_region_detector_segments_geometry():
+    """Synthetic room: floor plane + two boxes at different depths; the
+    geometric detector must separate the boxes and tag the floor."""
+    from instance_based_loc_tpu.memory.detection import DepthRegionDetector
+    h, w, f = 120, 160, 100.0
+    depth = np.zeros((h, w), np.float32)
+    # floor: lower half, depth grows towards the bottom edge (camera level)
+    ys = np.arange(h, dtype=np.float32)
+    for r in range(h // 2, h):
+        depth[r, :] = 2.0 * f / max(ys[r] - h / 2, 1)   # y*z/f = const height
+    depth[:h // 2, :] = 6.0                              # far wall
+    depth[30:70, 20:60] = 2.0                            # box A
+    depth[40:80, 100:140] = 3.0                          # box B
+    rgb = np.full((h, w, 3), 128, np.uint8)
+    det = DepthRegionDetector(f, min_area=300, floor_area_frac=0.1)
+    out = det.find(rgb, consider_floor=True, depth=depth)
+    assert len(out) >= 2
+    # boxes A and B are separate detections
+    centers = [(int((b[0] + b[2]) / 2), int((b[1] + b[3]) / 2))
+               for b in out.boxes_xyxy]
+    assert any(abs(cx - 40) < 15 for cx, cy in centers)
+    assert any(abs(cx - 120) < 15 for cx, cy in centers)
+
+
+def test_depth_region_detector_empty_without_depth():
+    from instance_based_loc_tpu.memory.detection import DepthRegionDetector
+    det = DepthRegionDetector(100.0)
+    out = det.find(np.zeros((50, 50, 3), np.uint8), consider_floor=True)
+    assert len(out) == 0
