@@ -94,8 +94,10 @@ def bench_e2e():
     memory.timer.totals.clear()
     memory.timer.counts.clear()
     # throughput mode: every query's fused device program is dispatched
-    # before any result is fetched (host detect/embed of query i+1 overlaps
-    # device registration of query i)
+    # before any result is fetched (host work overlaps device compute).
+    # localise_batched (one vmapped program per bucket) measured equal here
+    # — the program is latency-bound by its sequential registration stages,
+    # not by launch overhead — so the lower-latency pipelined path serves.
     stream = [(rgb, depth) for rgb, depth, _ in eval_frames] * 4
     t0 = time.perf_counter()
     memory.localise_many(stream, outlier_removal_config=None)

@@ -36,7 +36,9 @@ import jax.numpy as jnp
 from ..ops.pointcloud import PointCloud, round_up_pow2
 from ..ops.outliers import DEFAULT_OUTLIER_REMOVAL_CONFIG
 from ..ops.iou3d import pairwise_obb_iou
-from ..ops.localise_kernels import (localise_frame, process_frame,
+from ..ops.localise_kernels import (localise_frame, localise_frame_packed,
+                                    localise_frames_batched,
+                                    localise_packed_spec, process_frame,
                                     make_subsets)
 from ..ops.clustering import dbscan, agglomerative_precomputed
 from ..utils.logging import conditional_log
@@ -63,6 +65,16 @@ def _pack_f32(leaves):
     single host<->device round trip. Ints/bools round-trip exactly through
     f32 (all are small indices/flags/counts < 2^24)."""
     return jnp.concatenate([jnp.ravel(x).astype(jnp.float32) for x in leaves])
+
+
+def _decode_packed(flat: np.ndarray, specs, treedef):
+    """Inverse of the on-device output packing (localise_frame_packed)."""
+    leaves, pos = [], 0
+    for shape, dtype in specs:
+        n = int(np.prod(shape)) if shape else 1
+        leaves.append(flat[pos:pos + n].reshape(shape).astype(dtype))
+        pos += n
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def _subsample_points(pts: np.ndarray, cols: np.ndarray, cap: int, seed: int = 0):
@@ -500,7 +512,59 @@ class ObjectMemory:
                    for rgb, depth in frames]
         return [self.localise_finish(h) for h in handles]
 
-    def localise_dispatch(self, image_path, depth_image_path,
+    def localise_batched(self, frames, **kwargs):
+        """Maximum-throughput batch localisation: all queries with matching
+        shape/config buckets run as ONE vmapped device program with one
+        upload and one fetch (localise_frames_batched) — amortizing the
+        ~60 ms per-launch tunnel overhead that caps pipelined single-query
+        serving. `frames` is a list of (rgb, depth) like localise_many."""
+        hosts = [self._localise_host(rgb, depth, **kwargs)
+                 for rgb, depth in frames]
+        results: list = [None] * len(hosts)
+        groups: dict = {}
+        for i, hh in enumerate(hosts):
+            if "result" in hh:
+                results[i] = hh["result"]
+                continue
+            key = (hh["qbuf"].shape, hh["dims"], hh["keep_debug"],
+                   tuple(sorted(hh["statics"].items())))
+            groups.setdefault(key, []).append(i)
+        for idxs in groups.values():
+            h0 = hosts[idxs[0]]
+            bufs = jnp.asarray(np.stack([hosts[i]["qbuf"] for i in idxs]))
+            keys = jnp.stack([jax.random.PRNGKey(hosts[i]["frame_id"])
+                              for i in idxs])
+            hh, ww, d_pad, e_dim = h0["dims"]
+            with self.timer.stage("loc.device"):
+                packed = localise_frames_batched(
+                    bufs, *h0["mem_args"], *h0["scalars"], keys,
+                    h=hh, w=ww, d_pad=d_pad, e_dim=e_dim,
+                    keep_debug=h0["keep_debug"], **h0["statics"])
+            with self.timer.stage("loc.fetch"):
+                flat = np.asarray(packed)        # ONE fetch for the group
+            for row, i in zip(flat, idxs):
+                out = _decode_packed(row, hosts[i]["specs"],
+                                     hosts[i]["treedef"])
+                results[i] = self._finish_out(out, hosts[i])
+        return results
+
+    def localise_dispatch(self, image_path, depth_image_path, **kwargs):
+        """Host stages + async single-query device dispatch. Returns an
+        opaque handle for localise_finish (jax dispatch is async — the
+        device program runs in the background while the host moves on)."""
+        hh = self._localise_host(image_path, depth_image_path, **kwargs)
+        if "result" in hh:
+            return hh
+        h, w, d_pad, e_dim = hh["dims"]
+        with self.timer.stage("loc.device"):
+            hh["packed"] = localise_frame_packed(
+                jnp.asarray(hh["qbuf"]), *hh["mem_args"], *hh["scalars"],
+                jax.random.PRNGKey(hh["frame_id"]),
+                h=h, w=w, d_pad=d_pad, e_dim=e_dim,
+                keep_debug=hh["keep_debug"], **hh["statics"])
+        return hh
+
+    def _localise_host(self, image_path, depth_image_path,
                  outlier_removal_config=None,
                  fpfh_global_dist_factor: float = 2.0,
                  fpfh_local_dist_factor: float = 0.4,
@@ -541,38 +605,36 @@ class ObjectMemory:
         m_pad = pack["m_pad"]
         top_n = max_detected_object_num
         k = min(top_n, 3)
-        subsets_np = make_subsets(top_n, k=k)
+        subsets_key = (top_n, k)
+        if pack.get("subsets_key") != subsets_key:
+            pack["subsets"] = jnp.asarray(make_subsets(top_n, k=k))
+            pack["subsets_key"] = subsets_key   # cached device upload
         a_pad = round_up_pow2(sum(max(1, L) for L in range(1, k + 1)),
                               minimum=4)
         cfg = outlier_removal_config
         self._frame_counter += 1
 
-        # ---- ONE device program, ONE small fetch --------------------------
-        with timer.stage("loc.device"):
+        # ---- ONE upload, ONE program launch, ONE small fetch --------------
+        # (over the tunneled chip every extra host<->device touch costs
+        # ~30 ms; the query's heterogeneous inputs ship as one f32 buffer
+        # and all outputs come back in one — localise_frame_packed)
+        with timer.stage("loc.hostpack"):
             masks = self._pad_masks(det.masks, minimum=round_up_pow2(top_n))
             d_pad = len(masks)
-            embs_pad = np.zeros((d_pad, detected_embs.shape[1]), np.float32)
+            h, w = depth.shape
+            e_dim = detected_embs.shape[1]
+            embs_pad = np.zeros((d_pad, e_dim), np.float32)
             embs_pad[:len(det)] = detected_embs
-            det_valid = np.zeros((d_pad,), bool)
-            det_valid[:len(det)] = True
+            det_valid = np.zeros((d_pad,), np.float32)
+            det_valid[:len(det)] = 1.0
+            qbuf = np.concatenate([
+                np.asarray(depth, np.float32).ravel(),
+                np.asarray(rgb, np.float32).ravel(),
+                np.asarray(masks, np.float32).ravel(),
+                embs_pad.ravel(), det_valid])
             budget = 4 * top_n * 4  # reference pop budget: num_per_length*D*4
-            out = localise_frame(
-                jnp.asarray(depth), jnp.asarray(rgb), jnp.asarray(masks),
-                jnp.asarray(embs_pad), jnp.asarray(det_valid),
-                pack["mem_pts"], pack["mem_cols"], pack["mem_msk"],
-                pack["mem_cent"], pack["mem_ex"], pack["mem_ex_valid"],
-                pack["mem_valid"], pack["eval_pts"], pack["eval_msk"],
-                jnp.asarray(subsets_np),
-                jnp.float32(self.camera_focal_lenth_x),
-                jnp.float32(self.camera_focal_lenth_y),
-                jnp.float32(cfg["radius"] if cfg else 0.05),
-                jnp.float32(fpfh_voxel_size),
-                jnp.float32(fpfh_global_dist_factor),
-                jnp.float32(fpfh_local_dist_factor),
-                jnp.float32(centroid_gate),
-                jax.random.PRNGKey(self._frame_counter),
-                top_n=top_n,
-                budget=min(budget, (m_pad + 1) ** k),
+            statics = dict(
+                top_n=top_n, budget=min(budget, (m_pad + 1) ** k),
                 outlier_passes=2 if cfg else 0,
                 nb_points=cfg["radius_nb_points"] if cfg else 0,
                 min_det_points=16, a_pad=a_pad,
@@ -580,16 +642,31 @@ class ObjectMemory:
                 eval_cap=EVAL_CAPACITY, num_hyp=NUM_HYPOTHESES,
                 icp_coarse_iters=ICP_COARSE_ITERS,
                 icp_fine_iters=ICP_FINE_ITERS)
-            # one flat device buffer -> ONE fetch round trip in finish
-            # (a dict device_get costs a tunnel round trip PER leaf: ~15
-            # leaves x ~30 ms RTT dominated the query latency)
-            if not save_point_clouds:
-                out = {k: v for k, v in out.items()
-                       if k not in ("eval_det_pts", "eval_det_msk")}
-            leaves, treedef = jax.tree_util.tree_flatten(out)
-            specs = [(l.shape, l.dtype) for l in leaves]
-            packed = _pack_f32(tuple(leaves))
-        return {"packed": packed, "treedef": treedef, "specs": specs,
+            scalars = (jnp.float32(self.camera_focal_lenth_x),
+                       jnp.float32(self.camera_focal_lenth_y),
+                       jnp.float32(cfg["radius"] if cfg else 0.05),
+                       jnp.float32(fpfh_voxel_size),
+                       jnp.float32(fpfh_global_dist_factor),
+                       jnp.float32(fpfh_local_dist_factor),
+                       jnp.float32(centroid_gate))
+            mem_args = (pack["mem_pts"], pack["mem_cols"], pack["mem_msk"],
+                        pack["mem_cent"], pack["mem_ex"],
+                        pack["mem_ex_valid"], pack["mem_valid"],
+                        pack["eval_pts"], pack["eval_msk"], pack["subsets"])
+            spec_args = (jax.ShapeDtypeStruct((h, w), jnp.float32),
+                         jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
+                         jax.ShapeDtypeStruct((d_pad, h, w), jnp.bool_),
+                         jax.ShapeDtypeStruct((d_pad, e_dim), jnp.float32),
+                         jax.ShapeDtypeStruct((d_pad,), jnp.bool_),
+                         *mem_args, *scalars,
+                         jax.random.PRNGKey(0))
+            treedef, specs = localise_packed_spec(
+                spec_args, statics, keep_debug=save_point_clouds)
+        return {"qbuf": qbuf, "statics": statics, "scalars": scalars,
+                "mem_args": mem_args, "dims": (h, w, d_pad, e_dim),
+                "keep_debug": save_point_clouds,
+                "frame_id": self._frame_counter,
+                "treedef": treedef, "specs": specs,
                 "pack": pack, "zero": zero,
                 "testname": testname, "subtest_name": subtest_name,
                 "save_point_clouds": save_point_clouds,
@@ -599,6 +676,12 @@ class ObjectMemory:
         """Fetch + decode a dispatched localisation (the only host sync)."""
         if "result" in handle:
             return handle["result"]
+        with self.timer.stage("loc.fetch"):
+            flat = np.asarray(handle["packed"])
+        out = _decode_packed(flat, handle["specs"], handle["treedef"])
+        return self._finish_out(out, handle)
+
+    def _finish_out(self, out, handle):
         timer = self.timer
         pack = handle["pack"]
         zero = handle["zero"]
@@ -606,14 +689,6 @@ class ObjectMemory:
         subtest_name = handle["subtest_name"]
         save_point_clouds = handle["save_point_clouds"]
         save_root = handle["save_root"]
-        with timer.stage("loc.fetch"):
-            flat = np.asarray(handle["packed"])
-            leaves, pos = [], 0
-            for shape, dtype in handle["specs"]:
-                n = int(np.prod(shape)) if shape else 1
-                leaves.append(flat[pos:pos + n].reshape(shape).astype(dtype))
-                pos += n
-            out = jax.tree_util.tree_unflatten(handle["treedef"], leaves)
 
         with timer.stage("loc.finish"):
             n_active = int(out["active"].sum())

@@ -547,6 +547,104 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
     return out
 
 
+_PACKED_STATICS = ("top_n", "budget", "outlier_passes", "nb_points",
+                   "min_det_points", "a_pad", "reg_cap", "fpfh_cap",
+                   "eval_cap", "num_hyp", "icp_coarse_iters",
+                   "icp_fine_iters", "h", "w", "d_pad", "e_dim",
+                   "keep_debug")
+
+
+def _packed_body(query_buf, mem_args, scalars, key,
+                 h, w, d_pad, e_dim, keep_debug, statics):
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = query_buf[pos:pos + n]
+        pos += n
+        return out
+
+    depth = take(h * w).reshape(h, w)
+    rgb = take(h * w * 3).reshape(h, w, 3)
+    masks = take(d_pad * h * w).reshape(d_pad, h, w) > 0.5
+    det_embs = take(d_pad * e_dim).reshape(d_pad, e_dim)
+    det_valid = take(d_pad) > 0.5
+
+    out = localise_frame(depth, rgb, masks, det_embs, det_valid,
+                         *mem_args, *scalars, key, **statics)
+    if not keep_debug:
+        out = {k: v for k, v in out.items()
+               if k not in ("eval_det_pts", "eval_det_msk")}
+    leaves = jax.tree_util.tree_leaves(out)
+    return jnp.concatenate([jnp.ravel(x).astype(jnp.float32)
+                            for x in leaves])
+
+
+@partial(jax.jit, static_argnames=_PACKED_STATICS)
+def localise_frame_packed(query_buf, mem_pts, mem_cols, mem_msk, mem_cent,
+                          mem_ex, mem_ex_valid, mem_valid,
+                          eval_mem_pts, eval_mem_msk, subsets,
+                          fx, fy, radius,
+                          voxel_size, global_dist_factor, local_dist_factor,
+                          centroid_gate, key, *,
+                          h: int, w: int, d_pad: int, e_dim: int,
+                          keep_debug: bool, **statics):
+    """Tunnel-optimized serving entry: the query's heterogeneous inputs
+    (depth, rgb, masks, embeddings, validity) arrive as ONE f32 buffer and
+    every output leaves as ONE f32 buffer — a single upload, a single
+    program launch, a single fetch per query. Over the axon tunnel each
+    extra host<->device touch costs ~30 ms; the unpack/pack adds ~free
+    reshapes on-device. Leaf order is jax tree order (dicts sorted by key),
+    shared with `localise_packed_spec`."""
+    return _packed_body(
+        query_buf,
+        (mem_pts, mem_cols, mem_msk, mem_cent, mem_ex, mem_ex_valid,
+         mem_valid, eval_mem_pts, eval_mem_msk, subsets),
+        (fx, fy, radius, voxel_size, global_dist_factor, local_dist_factor,
+         centroid_gate), key, h, w, d_pad, e_dim, keep_debug, statics)
+
+
+@partial(jax.jit, static_argnames=_PACKED_STATICS)
+def localise_frames_batched(query_bufs, mem_pts, mem_cols, mem_msk, mem_cent,
+                            mem_ex, mem_ex_valid, mem_valid,
+                            eval_mem_pts, eval_mem_msk, subsets,
+                            fx, fy, radius,
+                            voxel_size, global_dist_factor, local_dist_factor,
+                            centroid_gate, keys, *,
+                            h: int, w: int, d_pad: int, e_dim: int,
+                            keep_debug: bool, **statics):
+    """Throughput mode: N queries vmapped into ONE program with one upload
+    and one fetch — amortizes the per-launch tunnel overhead (~60 ms) that
+    caps single-query serving. query_bufs (N, L); keys (N, 2)."""
+    mem_args = (mem_pts, mem_cols, mem_msk, mem_cent, mem_ex, mem_ex_valid,
+                mem_valid, eval_mem_pts, eval_mem_msk, subsets)
+    scalars = (fx, fy, radius, voxel_size, global_dist_factor,
+               local_dist_factor, centroid_gate)
+    return jax.vmap(
+        lambda qb, kk: _packed_body(qb, mem_args, scalars, kk, h, w, d_pad,
+                                    e_dim, keep_debug, statics))(
+        query_bufs, keys)
+
+
+_SPEC_CACHE: dict = {}
+
+
+def localise_packed_spec(args, statics: dict, keep_debug: bool):
+    """(treedef, [(shape, dtype)]) describing localise_frame_packed's flat
+    output for the given inputs — jax.eval_shape'd once per static/shape
+    signature and cached, so the host can decode the packed buffer."""
+    key = (tuple((tuple(a.shape), str(a.dtype)) for a in args),
+           tuple(sorted(statics.items())), keep_debug)
+    if key not in _SPEC_CACHE:
+        out = jax.eval_shape(lambda *a: localise_frame(*a, **statics), *args)
+        if not keep_debug:
+            out = {k: v for k, v in out.items()
+                   if k not in ("eval_det_pts", "eval_det_msk")}
+        leaves, treedef = jax.tree_util.tree_flatten(out)
+        _SPEC_CACHE[key] = (treedef, [(l.shape, l.dtype) for l in leaves])
+    return _SPEC_CACHE[key]
+
+
 # --------------------------------------------------------------------------- #
 # program 3: memory-build frame processing
 # --------------------------------------------------------------------------- #

@@ -82,3 +82,26 @@ def test_localise_empty_memory_returns_zero_pose(rng):
     pose, (assn, _) = mem.localise(rgb, depth, outlier_removal_config=None)
     np.testing.assert_array_equal(pose, [0., 0., 0., 0., 0., 0., 1.])
     assert assn == []
+
+
+def test_localise_batched_matches_single():
+    """The one-program batched serving path returns the same poses as the
+    single-query path."""
+    scene = default_scene(num_objects=4, seed=3)
+    poses = ring_poses(8, radius=4.5, height=1.3, target=(0, 0.4, 0))
+    frames = [render_scene(scene, p, 120, 160, 150.0) for p in poses]
+    memory = _mem()
+    for i in range(6):
+        rgb, depth, _ = frames[i]
+        memory.process_image(rgb, depth, poses[i], consider_floor=True,
+                             min_points=150, outlier_removal_config=None)
+    memory.downsample_all_objects(voxel_size=0.02)
+    memory.recluster_objects_with_dbscan(eps=0.1, min_points_per_cluster=40)
+    eval_frames = [(frames[i][0], frames[i][1]) for i in (6, 7)]
+    singles = [memory.localise(rgb, depth, outlier_removal_config=None)
+               for rgb, depth in eval_frames]
+    memory._frame_counter = memory._frame_counter - len(eval_frames)  # same keys
+    batched = memory.localise_batched(eval_frames, outlier_removal_config=None)
+    for (p1, a1), (p2, a2) in zip(singles, batched):
+        np.testing.assert_allclose(p1, p2, atol=1e-5)
+        assert a1[0] == a2[0]
