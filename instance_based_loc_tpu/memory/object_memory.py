@@ -105,6 +105,8 @@ class ObjectMemory:
         load_rgb_image_func=None,
         load_depth_image_func=None,
         dataset_floor_thickness: float = 0.1,
+        mesh=None,
+        mem_axis: str = "data",
     ):
         from ..data.loader import load_rgb, load_depth
 
@@ -121,6 +123,14 @@ class ObjectMemory:
         self.load_rgb_image_func = load_rgb_image_func or load_rgb
         self.load_depth_image_func = load_depth_image_func or load_depth
         self.dataset_floor_thickness = dataset_floor_thickness
+        # optional jax.sharding.Mesh: the memory-side buffers (object point
+        # banks, exemplar embeddings, the evaluation cloud) shard over
+        # `mem_axis`, so memories larger than one chip's HBM spread across
+        # the slice and the detections x memory similarity + registration
+        # math runs SPMD (the workload's scale dimension — SURVEY.md §2.10:
+        # many-objects batching replaces sequence parallelism here).
+        self.mesh = mesh
+        self.mem_axis = mem_axis
 
         self.memory: list[ObjectInfo] = []
         self.floors: ObjectInfo | None = None
@@ -450,7 +460,9 @@ class ObjectMemory:
             return self._pack
         m = len(self.memory)
         assert m > 0
-        m_pad = round_up_pow2(m, minimum=4)
+        axis = (self.mesh.shape[self.mem_axis]
+                if self.mesh is not None else 1)
+        m_pad = round_up_pow2(m, minimum=max(4, axis))
         mcap = min(MEM_OBJECT_CAPACITY,
                    round_up_pow2(max(o.num_points() for o in self.memory)))
         e_dim = int(np.asarray(self.memory[0].mean_emb).size)
@@ -484,14 +496,28 @@ class ObjectMemory:
         ev[:len(ev_pts)] = ev_pts
         ev_msk[:len(ev_pts)] = True
 
-        self._pack = dict(
-            m_pad=m_pad, e_dim=e_dim,
-            mem_pts=jnp.asarray(pts), mem_cols=jnp.asarray(cols),
-            mem_msk=jnp.asarray(msk), mem_cent=jnp.asarray(cent),
-            mem_ex=jnp.asarray(ex), mem_ex_valid=jnp.asarray(ex_valid),
-            mem_valid=jnp.asarray(valid),
-            eval_pts=jnp.asarray(ev), eval_msk=jnp.asarray(ev_msk),
-        )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            row = NamedSharding(self.mesh, P(self.mem_axis))
+            rep = NamedSharding(self.mesh, P())
+            put = jax.device_put
+            self._pack = dict(
+                m_pad=m_pad, e_dim=e_dim,
+                mem_pts=put(pts, row), mem_cols=put(cols, row),
+                mem_msk=put(msk, row), mem_cent=put(cent, rep),
+                mem_ex=put(ex, row), mem_ex_valid=put(ex_valid, row),
+                mem_valid=put(valid, rep),
+                eval_pts=put(ev, row), eval_msk=put(ev_msk, row),
+            )
+        else:
+            self._pack = dict(
+                m_pad=m_pad, e_dim=e_dim,
+                mem_pts=jnp.asarray(pts), mem_cols=jnp.asarray(cols),
+                mem_msk=jnp.asarray(msk), mem_cent=jnp.asarray(cent),
+                mem_ex=jnp.asarray(ex), mem_ex_valid=jnp.asarray(ex_valid),
+                mem_valid=jnp.asarray(valid),
+                eval_pts=jnp.asarray(ev), eval_msk=jnp.asarray(ev_msk),
+            )
         return self._pack
 
     # ------------------------------------------------------------------ #
