@@ -88,10 +88,16 @@ class CascadeDetector:
             print(f"Filtered caption post tagging: {keywords}")
 
         # per-keyword grounding with cross-keyword dedup (object_finder.py:180-207)
+        if getattr(self.grounder, "multi_phrase", False):
+            # ONE multi-phrase forward for all keywords (TPU-fast path;
+            # dedup semantics below are identical — keyword order preserved)
+            per_keyword = self.grounder.detect_all(img,
+                                                   [str(w) for w in keywords])
+        else:
+            per_keyword = [self.grounder(img, str(w)) for w in keywords]
         kept_boxes: list[np.ndarray] = []
         kept_phrases: list[str] = []
-        for word in keywords:
-            boxes, _scores = self.grounder(img, str(word))
+        for word, (boxes, _scores) in zip(keywords, per_keyword):
             if boxes is None or len(boxes) == 0:
                 continue
             for box in np.asarray(boxes):
@@ -153,5 +159,9 @@ def build_cascade_detector(ram_checkpoint: str | None = None,
                 return boxes, scores
         # weights-free fallback: one near-full-image proposal
         return np.array([[0.5, 0.5, 0.9, 0.9]], np.float32), np.array([1.0])
+
+    if gdino is not None and getattr(gdino, "multi_phrase", False):
+        grounder.detect_all = gdino.detect_all
+        grounder.multi_phrase = True
 
     return CascadeDetector(tagger, grounder, segmenter, **kwargs)

@@ -673,22 +673,58 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
         return model.apply(params, images, input_ids, allowed, position_ids,
                            token_mask)
 
-    def grounder(rgb: np.ndarray, keyword: str):
+    def _run(img_batch, ids):
+        allowed, position_ids = make_text_masks(ids)
+        token_mask = ids != 0
+        logits, boxes = apply(jnp.asarray(img_batch), jnp.asarray(ids),
+                              jnp.asarray(allowed), jnp.asarray(position_ids),
+                              jnp.asarray(token_mask))
+        return (np.asarray(jax.nn.sigmoid(logits[..., :ids.shape[1]])),
+                np.asarray(boxes))
+
+    def _prep(rgb):
         from PIL import Image
         s = cfg.img_size
         img = np.asarray(Image.fromarray(rgb.astype(np.uint8)).resize(
             (s, s), Image.BILINEAR), np.float32) / 255.0
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
-        ids = np.asarray(tokenizer.encode(keyword + "."), np.int32)[None]
-        allowed, position_ids = make_text_masks(ids)
-        token_mask = np.ones_like(ids, bool)
-        logits, boxes = apply(jnp.asarray(img[None]), jnp.asarray(ids),
-                              jnp.asarray(allowed), jnp.asarray(position_ids),
-                              jnp.asarray(token_mask))
-        probs = jax.nn.sigmoid(logits[0, :, :ids.shape[1]])
-        scores = np.asarray(jnp.max(probs, axis=-1))
-        boxes = np.asarray(boxes[0])
-        keep = scores > box_threshold
-        return boxes[keep], scores[keep]
+        return (img - IMAGENET_MEAN) / IMAGENET_STD
 
+    def grounder(rgb: np.ndarray, keyword: str):
+        ids = np.asarray(tokenizer.encode(keyword + "."), np.int32)[None]
+        probs, boxes = _run(_prep(rgb)[None], ids)
+        scores = probs[0].max(axis=-1)
+        keep = scores > box_threshold
+        return boxes[0][keep], scores[keep]
+
+    def detect_all(rgb: np.ndarray, keywords: list[str]):
+        """ONE forward for ALL keywords (the reference loops gd_predict per
+        keyword — object_finder.py:180-207, the pipeline's #1 hot loop;
+        GroundingDINO natively takes 'a. b. c.' prompts with per-phrase
+        block-diagonal text masks). Returns [(boxes, scores)] per keyword:
+        each query is attributed to the phrase owning its argmax token and
+        scored by the max sigmoid logit over that phrase's tokens."""
+        if not keywords:
+            return []
+        pieces = [tokenizer.encode(k + ".", add_special_tokens=False)
+                  for k in keywords]
+        ids = [tokenizer.cls_id]
+        spans = []
+        for p in pieces:
+            spans.append((len(ids), len(ids) + len(p)))
+            ids.extend(p)
+        ids.append(tokenizer.sep_id)
+        ids = np.asarray(ids, np.int32)[None]
+        probs, boxes = _run(_prep(rgb)[None], ids)
+        probs, boxes = probs[0], boxes[0]                 # (Q, T), (Q, 4)
+        owner = np.argmax(probs, axis=-1)                 # (Q,)
+        out = []
+        for (lo, hi) in spans:
+            in_span = (owner >= lo) & (owner < hi)
+            scores = probs[:, lo:hi].max(axis=-1)
+            keep = in_span & (scores > box_threshold)
+            out.append((boxes[keep], scores[keep]))
+        return out
+
+    grounder.detect_all = detect_all
+    grounder.multi_phrase = True
     return grounder

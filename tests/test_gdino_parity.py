@@ -143,3 +143,66 @@ def test_gdino_full_parity():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(boxes), ref.pred_boxes.numpy(),
                                atol=2e-4)
+
+
+def test_multi_phrase_detect_all(tmp_path):
+    """detect_all (one forward for all keywords) attributes each query to the
+    phrase owning its argmax token and returns per-keyword boxes."""
+    import pickle
+    from instance_based_loc_tpu.models.gdino import build_gdino_grounder
+    from instance_based_loc_tpu.models.wordpiece import WordPieceTokenizer
+
+    cfg = tiny_flax_config()
+    model = GroundingDino(cfg)
+    ids = np.array([[101, 7, 8, 1012, 102]], np.int32)
+    allowed, pos = make_text_masks(ids)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32),
+                        jnp.asarray(ids), jnp.asarray(allowed),
+                        jnp.asarray(pos), jnp.ones_like(ids, bool))
+    ckpt = tmp_path / "params.pkl"
+    ckpt.write_bytes(pickle.dumps(params))
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]"] * 101 + ["[CLS]", "[SEP]"] + ["[UNK]"] * 909 +
+        ["chair", "table", "."]))
+
+    g = build_gdino_grounder(str(ckpt), vocab_path=str(vocab),
+                             box_threshold=0.0, cfg=cfg)
+    assert getattr(g, "multi_phrase", False)
+    rgb = (np.random.default_rng(0).random((48, 64, 3)) * 255).astype(np.uint8)
+    out = g.detect_all(rgb, ["chair", "table"])
+    assert len(out) == 2
+    total = sum(len(b) for b, s in out)
+    assert total <= cfg.num_queries
+    for boxes, scores in out:
+        assert boxes.shape[1] == 4 if len(boxes) else True
+        assert (scores >= 0).all()
+    # single-keyword path still works
+    b1, s1 = g(rgb, "chair")
+    assert b1.shape[0] == s1.shape[0]
+
+
+def test_cascade_uses_multi_phrase_grounder():
+    from instance_based_loc_tpu.models.cascade import CascadeDetector
+    calls = {"single": 0, "multi": 0}
+
+    def single(img, kw):
+        calls["single"] += 1
+        return np.array([[0.5, 0.5, 0.4, 0.4]], np.float32), np.array([0.9])
+
+    def detect_all(img, kws):
+        calls["multi"] += 1
+        return [(np.array([[0.3 + 0.1 * i, 0.5, 0.2, 0.2]], np.float32),
+                 np.array([0.9])) for i, _ in enumerate(kws)]
+
+    single.detect_all = detect_all
+    single.multi_phrase = True
+
+    def segmenter(img, boxes):
+        return np.ones((len(boxes),) + img.shape[:2], bool)
+
+    det = CascadeDetector(lambda img: ["chair", "table"], single, segmenter)
+    out = det.find(np.zeros((40, 60, 3), np.uint8), consider_floor=False)
+    assert calls["multi"] == 1 and calls["single"] == 0
+    assert len(out) == 2
