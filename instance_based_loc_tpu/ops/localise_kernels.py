@@ -554,21 +554,28 @@ _PACKED_STATICS = ("top_n", "budget", "outlier_passes", "nb_points",
                    "keep_debug")
 
 
-def _packed_body(query_buf, mem_args, scalars, key,
+def _packed_body(query_f32, query_u8, mem_args, scalars, key,
                  h, w, d_pad, e_dim, keep_debug, statics):
     pos = 0
 
     def take(n):
         nonlocal pos
-        out = query_buf[pos:pos + n]
+        out = query_f32[pos:pos + n]
         pos += n
         return out
 
     depth = take(h * w).reshape(h, w)
-    rgb = take(h * w * 3).reshape(h, w, 3)
-    masks = take(d_pad * h * w).reshape(d_pad, h, w) > 0.5
     det_embs = take(d_pad * e_dim).reshape(d_pad, e_dim)
     det_valid = take(d_pad) > 0.5
+
+    # u8 section: rgb bytes + MSB-first bit-packed masks (np.packbits) —
+    # the query upload shrinks ~5.5x vs all-f32, which over the ~30 MB/s
+    # tunnel was the single largest per-query cost (~56 ms)
+    rgb = query_u8[:h * w * 3].reshape(h, w, 3).astype(jnp.float32)
+    mask_bytes = query_u8[h * w * 3:]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)       # MSB first
+    bits = (mask_bytes[:, None] >> shifts[None, :]) & 1   # (B, 8)
+    masks = bits.reshape(-1)[:d_pad * h * w].reshape(d_pad, h, w) > 0
 
     out = localise_frame(depth, rgb, masks, det_embs, det_valid,
                          *mem_args, *scalars, key, **statics)
@@ -581,7 +588,8 @@ def _packed_body(query_buf, mem_args, scalars, key,
 
 
 @partial(jax.jit, static_argnames=_PACKED_STATICS)
-def localise_frame_packed(query_buf, mem_pts, mem_cols, mem_msk, mem_cent,
+def localise_frame_packed(query_f32, query_u8,
+                          mem_pts, mem_cols, mem_msk, mem_cent,
                           mem_ex, mem_ex_valid, mem_valid,
                           eval_mem_pts, eval_mem_msk, subsets,
                           fx, fy, radius,
@@ -597,7 +605,7 @@ def localise_frame_packed(query_buf, mem_pts, mem_cols, mem_msk, mem_cent,
     reshapes on-device. Leaf order is jax tree order (dicts sorted by key),
     shared with `localise_packed_spec`."""
     return _packed_body(
-        query_buf,
+        query_f32, query_u8,
         (mem_pts, mem_cols, mem_msk, mem_cent, mem_ex, mem_ex_valid,
          mem_valid, eval_mem_pts, eval_mem_msk, subsets),
         (fx, fy, radius, voxel_size, global_dist_factor, local_dist_factor,
@@ -605,7 +613,8 @@ def localise_frame_packed(query_buf, mem_pts, mem_cols, mem_msk, mem_cent,
 
 
 @partial(jax.jit, static_argnames=_PACKED_STATICS)
-def localise_frames_batched(query_bufs, mem_pts, mem_cols, mem_msk, mem_cent,
+def localise_frames_batched(query_f32s, query_u8s,
+                            mem_pts, mem_cols, mem_msk, mem_cent,
                             mem_ex, mem_ex_valid, mem_valid,
                             eval_mem_pts, eval_mem_msk, subsets,
                             fx, fy, radius,
@@ -614,16 +623,17 @@ def localise_frames_batched(query_bufs, mem_pts, mem_cols, mem_msk, mem_cent,
                             h: int, w: int, d_pad: int, e_dim: int,
                             keep_debug: bool, **statics):
     """Throughput mode: N queries vmapped into ONE program with one upload
-    and one fetch — amortizes the per-launch tunnel overhead (~60 ms) that
-    caps single-query serving. query_bufs (N, L); keys (N, 2)."""
+    and one fetch — amortizes the per-launch tunnel overhead that caps
+    single-query serving. query_f32s (N, Lf); query_u8s (N, Lb);
+    keys (N, 2)."""
     mem_args = (mem_pts, mem_cols, mem_msk, mem_cent, mem_ex, mem_ex_valid,
                 mem_valid, eval_mem_pts, eval_mem_msk, subsets)
     scalars = (fx, fy, radius, voxel_size, global_dist_factor,
                local_dist_factor, centroid_gate)
     return jax.vmap(
-        lambda qb, kk: _packed_body(qb, mem_args, scalars, kk, h, w, d_pad,
-                                    e_dim, keep_debug, statics))(
-        query_bufs, keys)
+        lambda qf, qb, kk: _packed_body(qf, qb, mem_args, scalars, kk, h, w,
+                                        d_pad, e_dim, keep_debug, statics))(
+        query_f32s, query_u8s, keys)
 
 
 _SPEC_CACHE: dict = {}
