@@ -54,9 +54,9 @@ FPFH_CAPACITY = 256              # feature subsample for the RANSAC coarse stage
 EVAL_CAPACITY = 4096             # budget for full-memory evaluate_transform
 MEM_OBJECT_CAPACITY = 2048       # per-memory-object resident point budget
 PROCESS_CAPACITY = 8192          # per-detection point budget kept at build time
-NUM_HYPOTHESES = 2048
-ICP_COARSE_ITERS = 15              # quality-critical: convergence of the
-ICP_FINE_ITERS = 30                # final pose (≈0.3 ms/iter on-chip)
+NUM_HYPOTHESES = 1024            # ablation: 2048 -> 1024 costs no fixture
+ICP_COARSE_ITERS = 10              # quality (all e2e gates green) and buys
+ICP_FINE_ITERS = 20                # ~10 ms/query on-device
 
 
 @jax.jit
