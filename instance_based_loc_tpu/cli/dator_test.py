@@ -62,9 +62,18 @@ def main(argv=None):
     state = create_train_state(model_cfg, cfg.train, jax.random.PRNGKey(0),
                                cfg.data.height, cfg.data.width)
     if args.checkpoint:
-        step = int(os.path.basename(args.checkpoint).split("_")[-1])
-        state = restore_checkpoint(state, os.path.dirname(
-            os.path.abspath(args.checkpoint)), step)
+        path = os.path.abspath(args.checkpoint)
+        base = os.path.basename(path)
+        if base.split("_")[-1].isdigit():
+            step = int(base.split("_")[-1])
+            root = os.path.dirname(path)
+        else:   # a checkpoint ROOT directory: pick the latest step
+            steps = [int(d.split("_")[-1]) for d in os.listdir(path)
+                     if d.split("_")[-1].isdigit()]
+            if not steps:
+                raise SystemExit(f"no checkpoints under {path}")
+            step, root = max(steps), path
+        state = restore_checkpoint(state, root, step)
 
     sampler = PKSampler(samples, cfg.data.batch_size, cfg.data.num_instances)
     feats, pids = [], []

@@ -60,7 +60,6 @@ def main(argv=None):
             memory.process_image(rgb_path, depth_path, pose,
                                  consider_floor=False,
                                  depth_factor=ds.depth_factor,
-                                 kinect_frame=ds.spec["kinect"],
                                  min_points=args.min_points)
 
     # consolidate observations of the same instance before dumping

@@ -113,7 +113,11 @@ def main(args, detector=None):
         build_map=args.build_map,
     )
     depth_factor = dataloader.depth_factor
-    kinect = dataloader.spec["kinect"]
+    # NOTE: the kinect frame fix applies ONLY to the map pointcloud build
+    # (reference tum_dataloader.py:109); process_image uses the PLAIN
+    # transform even for TUM (reference object_memory.py:221), so memory,
+    # localise estimates and the parsed groundtruth poses share one
+    # convention and the error metrics are meaningful.
     # mm-scale sensors want the reference outlier config; coarse synthetic
     # depth (point spacing > radius) must disable it or clouds get wiped
     outlier_cfg = None if args.no_outlier_removal else {
@@ -129,7 +133,6 @@ def main(args, detector=None):
             memory.process_image(rgb_path, depth_path, pose,
                                  consider_floor=args.consider_floor,
                                  depth_factor=depth_factor,
-                                 kinect_frame=kinect,
                                  min_points=args.min_points,
                                  outlier_removal_config=outlier_cfg)
             mem_gb, dev_gb = get_mem_stats()

@@ -221,3 +221,43 @@ def get_sense_of_depthmap_from_pointcloud(points: np.ndarray,
     depth = np.zeros((image_height, image_width), np.float32)
     depth[-y_pix, x_pix] = z
     return depth
+
+
+def write_tum_dataset(out_dir: str, scene: SyntheticScene | None = None,
+                      n_views: int = 8, height: int = 240, width: int = 320,
+                      focal_length: float = 300.0) -> SyntheticScene:
+    """Write the TUM RGB-D layout the tum convention parses: rgb/*.png,
+    depth/*.png (uint16, meters x 5000 — tum_dataloader.py:103) and
+    groundtruth.txt rows `tx ty tz qx qy qz qw` (the reference reads
+    vals[0:3] as t, vals[3:7] as quat — tum_dataloader.py:63-75).
+
+    The stored rows pre-invert the loader's Kinect frame fix
+    (q_file = q_true (x) roty(pi), t_file = -t_true), so the PARSED poses
+    equal the true render poses and the plain-transform build/localise
+    convention (reference object_memory.py:221) round-trips exactly."""
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+
+    if scene is None:
+        scene = default_scene()
+    os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "depth"), exist_ok=True)
+
+    r2 = Rotation.from_euler("xyz", [0, np.pi, 0]).as_matrix()
+    poses = ring_poses(n_views)
+    lines = ["# synthetic TUM-format sequence (tx ty tz qx qy qz qw)"]
+    for i, pose in enumerate(poses):
+        rgb, depth, _ = render_scene(scene, pose, height, width, focal_length)
+        Image.fromarray(rgb).save(
+            os.path.join(out_dir, "rgb", f"frame_{i:04d}.png"))
+        d16 = np.clip(depth * 5000.0, 0, 65535).astype(np.uint16)
+        Image.fromarray(d16).save(
+            os.path.join(out_dir, "depth", f"frame_{i:04d}.png"))
+        r_true = Rotation.from_quat(pose[3:]).as_matrix()
+        q_file = Rotation.from_matrix(r_true @ r2).as_quat()
+        t_file = -pose[:3]
+        lines.append(" ".join(f"{v:.6f}" for v in
+                              np.concatenate([t_file, q_file])))
+    with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return scene

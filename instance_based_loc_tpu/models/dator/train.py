@@ -54,7 +54,7 @@ class TrainState(struct.PyTreeNode):
 
 def cosine_schedule(cfg: TrainConfig) -> optax.Schedule:
     total = cfg.epochs * cfg.steps_per_epoch
-    warmup = cfg.warmup_epochs * cfg.steps_per_epoch
+    warmup = min(cfg.warmup_epochs * cfg.steps_per_epoch, max(total - 1, 0))
     return optax.warmup_cosine_decay_schedule(
         init_value=cfg.base_lr * 0.01, peak_value=cfg.base_lr,
         warmup_steps=max(warmup, 1), decay_steps=max(total, 2))

@@ -133,3 +133,42 @@ def test_localise_held_out_view(built_memory):
     print(f"trans_err={trans_err:.3f} rot_err={rot_err:.3f} assn={assn}")
     assert trans_err < 0.6, f"translation error {trans_err:.3f}"
     assert rot_err < 0.3, f"rotation error {rot_err:.3f}"
+
+
+def test_tum_format_end_to_end(tmp_path):
+    """TUM-layout sequence (uint16 png depth /5000, groundtruth.txt with the
+    Kinect frame fix) round-trips through the tum convention: memory build +
+    localisation succeed with the plain-transform semantics the reference
+    uses (object_memory.py:221; VERDICT r1 item 8's TUM half)."""
+    from instance_based_loc_tpu.data.synthetic import (
+        write_tum_dataset, default_scene)
+    from instance_based_loc_tpu.data.loader import RGBDDataset
+    from instance_based_loc_tpu.utils.metrics import pose_errors, is_success
+
+    scene = default_scene(num_objects=4, seed=5)
+    data = str(tmp_path / "tum")
+    write_tum_dataset(data, scene=scene, n_views=7, height=120, width=160,
+                      focal_length=150.0)
+    ds = RGBDDataset(data_path=data, evaluation_indices=[5],
+                     convention="tum", focal_length_x=150.0,
+                     focal_length_y=150.0)
+    assert ds.depth_factor == 5000.0
+    memory = ObjectMemory(
+        detector=ColorRegionDetector(min_area=80,
+                                     floor_colors=[scene.floor_color]),
+        camera_focal_lenth_x=150.0, camera_focal_lenth_y=150.0,
+        get_embeddings_func=get_embedder("color"), log_enabled=False)
+    for idx in ds.environment_indices:
+        rgb_path, depth_path, pose = ds.get_image_data(idx)
+        memory.process_image(rgb_path, depth_path, pose, consider_floor=True,
+                             depth_factor=ds.depth_factor, min_points=150,
+                             outlier_removal_config=None)
+    memory.downsample_all_objects(voxel_size=0.02)
+    memory.recluster_objects_with_dbscan(eps=0.1, min_points_per_cluster=40)
+
+    rgb_path, depth_path, target = ds.get_image_data(5)
+    est, _ = memory.localise(rgb_path, depth_path,
+                             depth_factor=ds.depth_factor,
+                             outlier_removal_config=None)
+    te, re_ = pose_errors(target, est)
+    assert is_success(te, re_), (te, re_)
