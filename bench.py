@@ -62,6 +62,78 @@ def bench_neural_path():
     return fps
 
 
+def bench_neural_cascade():
+    """Throughput of the FULL perception cascade as one frame's neural work
+    (SURVEY.md §3 hot loop 1): RAM tagging (Swin-L @384), GroundingDINO
+    multi-phrase grounding (Swin-T pyramid + BERT text + fusion encoder +
+    decoder @800) and SAM segmentation (ViT-B @1024, 8 box prompts).
+    Random weights — identical FLOPs/shapes to the ported checkpoints.
+    Each stage is dispatched back-to-back per frame (the serving order) and
+    synced once per frame, matching how the cascade drives the device."""
+    import jax
+    import jax.numpy as jnp
+
+    from instance_based_loc_tpu.models.ram import Ram, RamConfig
+    from instance_based_loc_tpu.models.gdino import (GroundingDino,
+                                                     GDinoConfig,
+                                                     make_text_masks)
+    from instance_based_loc_tpu.models.sam import Sam, SamConfig
+
+    rng = jax.random.PRNGKey(0)
+
+    ram_cfg = RamConfig()
+    ram = Ram(ram_cfg)
+    ram_in = jnp.zeros((1, ram_cfg.backbone.img_size,
+                        ram_cfg.backbone.img_size, 3), jnp.float32)
+    ram_params = ram.init(rng, ram_in)
+    ram_apply = jax.jit(lambda p, x: jax.nn.sigmoid(ram.apply(p, x)))
+
+    gd_cfg = GDinoConfig(img_size=800)
+    gdino = GroundingDino(gd_cfg)
+    ids = np.zeros((1, 16), np.int32)
+    ids[0, :6] = [101, 4937, 1012, 3899, 1012, 102]
+    allowed, position_ids = make_text_masks(ids)
+    gd_args = (jnp.zeros((1, 800, 800, 3), jnp.float32), jnp.asarray(ids),
+               jnp.asarray(allowed), jnp.asarray(position_ids),
+               jnp.asarray(ids != 0))
+    gd_params = gdino.init(rng, *gd_args)
+    gd_apply = jax.jit(gdino.apply)
+
+    sam_cfg = SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
+                        global_blocks=(2, 5, 8, 11))
+    sam = Sam(sam_cfg)
+    n_boxes = 8
+    sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), jnp.float32)
+    sam_boxes = jnp.zeros((n_boxes, 4), jnp.float32)
+    sam_params = sam.init(rng, sam_img, sam_boxes)
+    sam_apply = jax.jit(sam.apply)
+
+    def frame(i):
+        t = ram_apply(ram_params, ram_in + i)
+        g = gd_apply(gd_params, gd_args[0] + i, *gd_args[1:])
+        s = sam_apply(sam_params, sam_img + i, sam_boxes)
+        return t, g, s
+
+    outs = frame(0)                                   # compile
+    jax.block_until_ready(outs)
+    np.asarray(outs[0].ravel()[0])
+    n = 8
+    t0 = time.perf_counter()
+    for i in range(1, n + 1):
+        outs = frame(i)
+    np.asarray(outs[0].ravel()[0])                    # executes in order
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / n
+    fps = 1.0 / dt
+    print(json.dumps({
+        "metric": "cascade_frames_per_sec",
+        "value": round(fps, 3),
+        "unit": "frames/sec (RAM@384 + GDINO@800 + SAM-B@1024, 8 boxes)",
+        "vs_baseline": None,
+    }))
+    return fps
+
+
 def bench_e2e():
     from instance_based_loc_tpu.data.synthetic import (
         default_scene, render_scene, ring_poses)
@@ -120,6 +192,7 @@ def bench_e2e():
 
 def main():
     bench_neural_path()
+    bench_neural_cascade()
     fps = bench_e2e()
     print(json.dumps({
         "metric": "e2e_localisation_fps_per_chip",

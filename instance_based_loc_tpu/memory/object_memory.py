@@ -38,6 +38,7 @@ from ..ops.outliers import DEFAULT_OUTLIER_REMOVAL_CONFIG
 from ..ops.iou3d import pairwise_obb_iou
 from ..ops.localise_kernels import (localise_frame, localise_frame_packed,
                                     localise_frames_batched,
+                                    localise_frames_scanned,
                                     localise_packed_spec, process_frame,
                                     make_subsets)
 from ..ops.clustering import dbscan, agglomerative_precomputed
@@ -57,6 +58,8 @@ PROCESS_CAPACITY = 8192          # per-detection point budget kept at build time
 NUM_HYPOTHESES = 1024            # ablation: 2048 -> 1024 costs no fixture
 ICP_COARSE_ITERS = 10              # quality (all e2e gates green) and buys
 ICP_FINE_ITERS = 20                # ~10 ms/query on-device
+ICP_EARLY_EXIT = False           # while_loop + Open3D convergence criteria
+                                 # instead of fixed-length scan (ops/icp.py)
 
 
 @jax.jit
@@ -538,12 +541,21 @@ class ObjectMemory:
                    for rgb, depth in frames]
         return [self.localise_finish(h) for h in handles]
 
-    def localise_batched(self, frames, **kwargs):
-        """Maximum-throughput batch localisation: all queries with matching
-        shape/config buckets run as ONE vmapped device program with one
-        upload and one fetch (localise_frames_batched) — amortizing the
-        ~60 ms per-launch tunnel overhead that caps pipelined single-query
-        serving. `frames` is a list of (rgb, depth) like localise_many."""
+    def localise_batched(self, frames, batch_mode: str = "vmap", **kwargs):
+        """Batch localisation: all queries with matching shape/config
+        buckets run as ONE device program with one upload and one fetch —
+        amortizing per-launch overhead. `frames` is a list of (rgb, depth)
+        like localise_many.
+
+        batch_mode "vmap" (default) runs them as one batched program,
+        bit-identical to the single-query path; "scan" runs them
+        sequentially on device (lax.scan) — measured equal speed on the
+        tunneled chip (the pipeline is compute-bound, PERF.md) but its loop
+        context shifts backprojection by ~1 ulp, which registration can
+        amplify into a different similarly-scored assignment, so it is an
+        experimental option, not the default."""
+        batched_fn = (localise_frames_scanned if batch_mode == "scan"
+                      else localise_frames_batched)
         hosts = [self._localise_host(rgb, depth, **kwargs)
                  for rgb, depth in frames]
         results: list = [None] * len(hosts)
@@ -564,7 +576,7 @@ class ObjectMemory:
                               for i in idxs])
             hh, ww, d_pad, e_dim = h0["dims"]
             with self.timer.stage("loc.device"):
-                packed = localise_frames_batched(
+                packed = batched_fn(
                     bufs, byte_bufs, *h0["mem_args"], *h0["scalars"], keys,
                     h=hh, w=ww, d_pad=d_pad, e_dim=e_dim,
                     keep_debug=h0["keep_debug"], **h0["statics"])
@@ -673,7 +685,8 @@ class ObjectMemory:
                 reg_cap=REGISTRATION_CAPACITY, fpfh_cap=FPFH_CAPACITY,
                 eval_cap=EVAL_CAPACITY, num_hyp=NUM_HYPOTHESES,
                 icp_coarse_iters=ICP_COARSE_ITERS,
-                icp_fine_iters=ICP_FINE_ITERS)
+                icp_fine_iters=ICP_FINE_ITERS,
+                icp_early_exit=ICP_EARLY_EXIT)
             scalars = (jnp.float32(self.camera_focal_lenth_x),
                        jnp.float32(self.camera_focal_lenth_y),
                        jnp.float32(cfg["radius"] if cfg else 0.05),

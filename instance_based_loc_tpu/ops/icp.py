@@ -29,7 +29,8 @@ DEFAULT_ICP_ITERS = 30
 COLOR_SIGMA = 0.25
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "use_colors"))
+@partial(jax.jit, static_argnames=("max_iterations", "use_colors",
+                                   "early_exit"))
 def icp(src_pts: jax.Array, src_mask: jax.Array,
         tgt_pts: jax.Array, tgt_mask: jax.Array,
         max_correspondence_distance,
@@ -37,20 +38,31 @@ def icp(src_pts: jax.Array, src_mask: jax.Array,
         src_colors: jax.Array | None = None,
         tgt_colors: jax.Array | None = None,
         max_iterations: int = DEFAULT_ICP_ITERS,
-        use_colors: bool = False):
+        use_colors: bool = False,
+        early_exit: bool = False):
     """Returns (T (4,4), fitness, inlier_rmse).
 
     fitness / inlier_rmse follow Open3D semantics: computed over source points
     whose nearest target neighbor lies within `max_correspondence_distance`
     after the final transform; fitness = inliers / #valid source points.
+
+    early_exit=True swaps the fixed-length scan for a while_loop with
+    Open3D's ICPConvergenceCriteria (stop when BOTH the relative fitness and
+    relative rmse change drop below 1e-6, Open3D's defaults) — same result
+    on converged problems, fewer sequential iterations on device. Off by
+    default: under vmap the loop runs until every lane converges, so the
+    saving only materialises when most lanes converge early.
     """
     thr2 = jnp.float32(max_correspondence_distance) ** 2
     T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform
 
-    def step(T, _):
+    def correspond(T):
         moved = apply_transform(src_pts, T)
         nn_idx, nn_d2 = masked_nearest(moved, tgt_pts, tgt_mask)
         inlier = src_mask & (nn_d2 <= thr2)
+        return nn_idx, nn_d2, inlier
+
+    def solve(T, nn_idx, inlier):
         w = inlier.astype(jnp.float32)
         if use_colors and src_colors is not None and tgt_colors is not None:
             cd2 = jnp.sum((src_colors - tgt_colors[nn_idx]) ** 2, axis=-1)
@@ -59,10 +71,41 @@ def icp(src_pts: jax.Array, src_mask: jax.Array,
         # solve on ORIGINAL source points for the full transform directly
         enough = jnp.sum(inlier) >= 3
         T_new = kabsch_transform(src_pts, matched_tgt, weights=w)
-        T_new = jnp.where(enough, T_new, T)
-        return T_new, None
+        return jnp.where(enough, T_new, T)
 
-    T, _ = jax.lax.scan(step, T0, None, length=max_iterations)
+    def step(T, _):
+        nn_idx, _, inlier = correspond(T)
+        return solve(T, nn_idx, inlier), None
+
+    if not early_exit:
+        T, _ = jax.lax.scan(step, T0, None, length=max_iterations)
+    else:
+        def metrics(nn_d2, inlier):
+            cnt = jnp.sum(inlier.astype(jnp.float32))
+            rmse = jnp.sqrt(jnp.sum(jnp.where(inlier, nn_d2, 0.0))
+                            / jnp.maximum(cnt, 1.0))
+            fit = cnt / jnp.maximum(
+                jnp.sum(src_mask.astype(jnp.float32)), 1.0)
+            return fit, rmse
+
+        def cond(state):
+            _, i, fit, rmse, prev_fit, prev_rmse = state
+            unconverged = ((jnp.abs(prev_fit - fit)
+                            > 1e-6 * jnp.maximum(prev_fit, 1e-12))
+                           | (jnp.abs(prev_rmse - rmse)
+                              > 1e-6 * jnp.maximum(prev_rmse, 1e-12)))
+            return (i < max_iterations) & (unconverged | (i < 2))
+
+        def body(state):
+            T, i, fit, rmse, _, _ = state
+            nn_idx, nn_d2, inlier = correspond(T)
+            new_fit, new_rmse = metrics(nn_d2, inlier)
+            return (solve(T, nn_idx, inlier), i + 1,
+                    new_fit, new_rmse, fit, rmse)
+
+        state = (T0, jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0),
+                 jnp.float32(-1.0), jnp.float32(-1.0))
+        T, *_ = jax.lax.while_loop(cond, body, state)
 
     rmse, fitness = evaluate_transform_arrays(
         src_pts, src_mask, tgt_pts, tgt_mask, T, max_correspondence_distance)

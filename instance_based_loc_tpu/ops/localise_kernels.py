@@ -330,7 +330,7 @@ def select_assignments(subsets: np.ndarray, vol_vals: np.ndarray,
 def _register_one(sp, sc, sm, tp, tc, tm, init_T, has_init, key, *,
                   fpfh_cap, voxel_size, global_dist_factor,
                   local_dist_factor, num_hyp, icp_coarse_iters,
-                  icp_fine_iters):
+                  icp_fine_iters, icp_early_exit):
     """One assignment: FPFH+RANSAC coarse align on a feature subsample, best
     init (RANSAC vs centroid-Kabsch) picked by coarse inlier count, then
     multi-scale colored ICP (reference fpfh_register.py:100-143 + the
@@ -361,10 +361,12 @@ def _register_one(sp, sc, sm, tp, tc, tm, init_T, has_init, key, *,
 
     T, _, _ = icp(sp, sm, tp, tm, coarse_dist, init_transform=T0,
                   src_colors=sc, tgt_colors=tc,
-                  max_iterations=icp_coarse_iters, use_colors=True)
+                  max_iterations=icp_coarse_iters, use_colors=True,
+                  early_exit=icp_early_exit)
     T, fitness, rmse = icp(sp, sm, tp, tm, fine_dist, init_transform=T,
                            src_colors=sc, tgt_colors=tc,
-                           max_iterations=icp_fine_iters, use_colors=True)
+                           max_iterations=icp_fine_iters, use_colors=True,
+                           early_exit=icp_early_exit)
     return T, rmse, fitness
 
 
@@ -377,7 +379,7 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
                     centroid_gate, key, *,
                     reg_cap: int, fpfh_cap: int, eval_cap: int,
                     num_hyp: int, icp_coarse_iters: int,
-                    icp_fine_iters: int):
+                    icp_fine_iters: int, icp_early_exit: bool = False):
     """ALL assignment registrations + evaluation + selection + pose
     composition in one program (reference object_memory.py:1020-1131).
 
@@ -435,7 +437,8 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
             global_dist_factor=global_dist_factor,
             local_dist_factor=local_dist_factor, num_hyp=num_hyp,
             icp_coarse_iters=icp_coarse_iters,
-            icp_fine_iters=icp_fine_iters)
+            icp_fine_iters=icp_fine_iters,
+            icp_early_exit=icp_early_exit)
 
         # compose the global transform and evaluate on the FULL clouds
         # (object_memory.py:1096-1106)
@@ -485,7 +488,7 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
 
 register_select = partial(jax.jit, static_argnames=(
     "reg_cap", "fpfh_cap", "eval_cap", "num_hyp", "icp_coarse_iters",
-    "icp_fine_iters"))(_register_select_body)
+    "icp_fine_iters", "icp_early_exit"))(_register_select_body)
 
 
 # --------------------------------------------------------------------------- #
@@ -495,7 +498,7 @@ register_select = partial(jax.jit, static_argnames=(
                                    "nb_points", "min_det_points", "a_pad",
                                    "reg_cap", "fpfh_cap", "eval_cap",
                                    "num_hyp", "icp_coarse_iters",
-                                   "icp_fine_iters"))
+                                   "icp_fine_iters", "icp_early_exit"))
 def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    mem_pts, mem_cols, mem_msk, mem_cent,
                    mem_ex, mem_ex_valid, mem_valid,
@@ -507,7 +510,7 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    nb_points: int, min_det_points: int, a_pad: int,
                    reg_cap: int, fpfh_cap: int, eval_cap: int,
                    num_hyp: int, icp_coarse_iters: int,
-                   icp_fine_iters: int):
+                   icp_fine_iters: int, icp_early_exit: bool = False):
     """The whole localise query (reference object_memory.py:852-1169) as one
     XLA program: preparation + assignment selection + registration +
     evaluation + pose composition. One upload, one dispatch, one small fetch
@@ -537,7 +540,7 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
         centroid_gate, kreg,
         reg_cap=reg_cap, fpfh_cap=fpfh_cap, eval_cap=eval_cap,
         num_hyp=num_hyp, icp_coarse_iters=icp_coarse_iters,
-        icp_fine_iters=icp_fine_iters)
+        icp_fine_iters=icp_fine_iters, icp_early_exit=icp_early_exit)
 
     out = dict(pose7=pose7, best=best,
                assn_det=assn_det, assn_mem=assn_mem,
@@ -550,8 +553,8 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
 _PACKED_STATICS = ("top_n", "budget", "outlier_passes", "nb_points",
                    "min_det_points", "a_pad", "reg_cap", "fpfh_cap",
                    "eval_cap", "num_hyp", "icp_coarse_iters",
-                   "icp_fine_iters", "h", "w", "d_pad", "e_dim",
-                   "keep_debug")
+                   "icp_fine_iters", "icp_early_exit", "h", "w", "d_pad",
+                   "e_dim", "keep_debug")
 
 
 def _packed_body(query_f32, query_u8, mem_args, scalars, key,
@@ -634,6 +637,38 @@ def localise_frames_batched(query_f32s, query_u8s,
         lambda qf, qb, kk: _packed_body(qf, qb, mem_args, scalars, kk, h, w,
                                         d_pad, e_dim, keep_debug, statics))(
         query_f32s, query_u8s, keys)
+
+
+@partial(jax.jit, static_argnames=_PACKED_STATICS)
+def localise_frames_scanned(query_f32s, query_u8s,
+                            mem_pts, mem_cols, mem_msk, mem_cent,
+                            mem_ex, mem_ex_valid, mem_valid,
+                            eval_mem_pts, eval_mem_msk, subsets,
+                            fx, fy, radius,
+                            voxel_size, global_dist_factor, local_dist_factor,
+                            centroid_gate, keys, *,
+                            h: int, w: int, d_pad: int, e_dim: int,
+                            keep_debug: bool, **statics):
+    """Throughput mode for the tunneled chip: N queries in ONE program with
+    one upload and one fetch, run SEQUENTIALLY on device via `lax.scan`.
+    Unlike `localise_frames_batched` (vmap), every scan iteration keeps the
+    exact single-query program shape — the vmapped variant's batched
+    gather/scan ops scale worse than linearly (measured 96 ms/query at
+    N=12 vs 36 ms single) — so device time is N x single-query compute while
+    the per-launch tunnel overhead (~20 ms) amortizes over the batch.
+    query_f32s (N, Lf); query_u8s (N, Lb); keys (N, 2)."""
+    mem_args = (mem_pts, mem_cols, mem_msk, mem_cent, mem_ex, mem_ex_valid,
+                mem_valid, eval_mem_pts, eval_mem_msk, subsets)
+    scalars = (fx, fy, radius, voxel_size, global_dist_factor,
+               local_dist_factor, centroid_gate)
+
+    def body(carry, xs):
+        qf, qb, kk = xs
+        return carry, _packed_body(qf, qb, mem_args, scalars, kk, h, w,
+                                   d_pad, e_dim, keep_debug, statics)
+
+    _, outs = jax.lax.scan(body, 0, (query_f32s, query_u8s, keys))
+    return outs
 
 
 _SPEC_CACHE: dict = {}

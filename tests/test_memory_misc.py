@@ -100,8 +100,19 @@ def test_localise_batched_matches_single():
     eval_frames = [(frames[i][0], frames[i][1]) for i in (6, 7)]
     singles = [memory.localise(rgb, depth, outlier_removal_config=None)
                for rgb, depth in eval_frames]
-    memory._frame_counter = memory._frame_counter - len(eval_frames)  # same keys
-    batched = memory.localise_batched(eval_frames, outlier_removal_config=None)
+    # vmap lowering reproduces the single-query program bit-for-bit
+    memory._frame_counter = memory._frame_counter - len(eval_frames)
+    batched = memory.localise_batched(eval_frames, batch_mode="vmap",
+                                      outlier_removal_config=None)
     for (p1, a1), (p2, a2) in zip(singles, batched):
         np.testing.assert_allclose(p1, p2, atol=1e-5)
         assert a1[0] == a2[0]
+    # scan mode drifts ~1 ulp in backprojection (XLA loop fusion rounding,
+    # PERF.md), which registration can amplify into a different
+    # similarly-scored assignment — so it only contracts to produce a
+    # decodable, finite result, not bitwise equality with single queries
+    memory._frame_counter = memory._frame_counter - len(eval_frames)
+    scanned = memory.localise_batched(eval_frames, batch_mode="scan",
+                                      outlier_removal_config=None)
+    for p, (assn, _) in scanned:
+        assert np.all(np.isfinite(p)) and len(assn) >= 1
