@@ -49,16 +49,24 @@ from .phrases import check_if_floor
 from .detection import Detections
 
 
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
 LOCALISE_OUTLIER_CONFIG = {"radius_nb_points": 8, "radius": 0.05}  # object_memory.py:880-884
-REGISTRATION_CAPACITY = 1024     # per-side point budget for assignment registration
-FPFH_CAPACITY = 256              # feature subsample for the RANSAC coarse stage
-EVAL_CAPACITY = 4096             # budget for full-memory evaluate_transform
+# Registration quality/speed knobs. The IBL_* env overrides exist so the
+# full quality-gate suite can be replayed against a candidate knob set
+# without editing source (PERF.md knob-ablation methodology).
+REGISTRATION_CAPACITY = _env_int("IBL_REG_CAP", 1024)   # per-side point budget for assignment registration
+FPFH_CAPACITY = _env_int("IBL_FPFH_CAP", 256)    # feature subsample for the RANSAC coarse stage
+EVAL_CAPACITY = _env_int("IBL_EVAL_CAP", 4096)   # budget for full-memory evaluate_transform
 MEM_OBJECT_CAPACITY = 2048       # per-memory-object resident point budget
 PROCESS_CAPACITY = 8192          # per-detection point budget kept at build time
-NUM_HYPOTHESES = 1024            # ablation: 2048 -> 1024 costs no fixture
-ICP_COARSE_ITERS = 10              # quality (all e2e gates green) and buys
-ICP_FINE_ITERS = 20                # ~10 ms/query on-device
-ICP_EARLY_EXIT = False           # while_loop + Open3D convergence criteria
+NUM_HYPOTHESES = _env_int("IBL_NUM_HYP", 1024)   # ablation: 2048 -> 1024 costs no fixture
+ICP_COARSE_ITERS = _env_int("IBL_ICP_COARSE", 10)  # quality (all e2e gates green) and buys
+ICP_FINE_ITERS = _env_int("IBL_ICP_FINE", 20)      # ~10 ms/query on-device
+ICP_EARLY_EXIT = bool(_env_int("IBL_ICP_EARLY_EXIT", 0))
+                                 # while_loop + Open3D convergence criteria
                                  # instead of fixed-length scan (ops/icp.py)
 
 
@@ -531,15 +539,54 @@ class ObjectMemory:
         return self.localise_finish(self.localise_dispatch(
             image_path, depth_image_path, **kwargs))
 
-    def localise_many(self, frames, **kwargs):
+    def localise_many(self, frames, overlap: bool = True, **kwargs):
         """Pipelined batch localisation: dispatch every frame's fused device
-        program before fetching any result, so host detection/embedding of
-        frame i+1 overlaps device registration of frame i (the throughput
-        mode; single-frame `localise` is the latency mode). `frames` is a
-        list of (image_path_or_rgb, depth_path_or_depth)."""
-        handles = [self.localise_dispatch(rgb, depth, **kwargs)
-                   for rgb, depth in frames]
-        return [self.localise_finish(h) for h in handles]
+        program before fetching any result (the throughput mode;
+        single-frame `localise` is the latency mode). `frames` is a list of
+        (image_path_or_rgb, depth_path_or_depth).
+
+        overlap=True additionally fetches finished results on a consumer
+        thread while the main thread preps/dispatches the next frames.
+        Dispatch alone does NOT overlap host work with device compute on
+        every backend (the axon tunnel starts executing a program when its
+        first output is fetched — measured: per-frame wall was exactly
+        host + compute, PERF.md); the blocking fetch on the side thread
+        forces execution while the GIL is released, hiding the ~13 ms/frame
+        of host detect/embed/pack under device compute. Results and
+        per-frame semantics are identical either way."""
+        if not overlap:
+            handles = [self.localise_dispatch(rgb, depth, **kwargs)
+                       for rgb, depth in frames]
+            return [self.localise_finish(h) for h in handles]
+
+        import queue
+        import threading
+
+        results: list = []
+        errors: list = []
+        q: "queue.Queue" = queue.Queue(maxsize=8)
+
+        def consumer():
+            while True:
+                h = q.get()
+                if h is None:
+                    return
+                try:
+                    results.append(self.localise_finish(h))
+                except BaseException as e:   # surface on the caller's thread
+                    errors.append(e)
+
+        t = threading.Thread(target=consumer, daemon=True)
+        t.start()
+        try:
+            for rgb, depth in frames:
+                q.put(self.localise_dispatch(rgb, depth, **kwargs))
+        finally:
+            q.put(None)
+            t.join()
+        if errors:
+            raise errors[0]
+        return results
 
     def localise_batched(self, frames, batch_mode: str = "vmap", **kwargs):
         """Batch localisation: all queries with matching shape/config

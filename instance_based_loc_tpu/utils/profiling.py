@@ -8,12 +8,14 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import threading
 import time
 from collections import defaultdict
 
 
 class StageTimer:
-    """Accumulates wall-clock per named stage across frames.
+    """Accumulates wall-clock per named stage across frames. Thread-safe
+    (the overlapped serving path times dispatch and fetch on two threads).
 
     with timer.stage("registration"):
         ...
@@ -23,6 +25,16 @@ class StageTimer:
     def __init__(self):
         self.totals: dict[str, float] = defaultdict(float)
         self.counts: dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
+
+    # locks don't pickle/deepcopy; timers ride inside ObjectMemory pickles
+    def __getstate__(self):
+        return {"totals": dict(self.totals), "counts": dict(self.counts)}
+
+    def __setstate__(self, state):
+        self.totals = defaultdict(float, state["totals"])
+        self.counts = defaultdict(int, state["counts"])
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -30,8 +42,10 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def report(self) -> str:
         lines = []

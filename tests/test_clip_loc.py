@@ -154,3 +154,40 @@ def test_clip_loc_save_load(tmp_path, rng):
     assert len(loaded) == 1
     np.testing.assert_allclose(loaded.memory[0].points, obj.points)
     assert loaded.memory[0].text == "chair"
+
+
+@pytest.mark.slow
+def test_clip_loc_trial_cli(tmp_path):
+    """The clip_loc trial CLI end-to-end on a tiny TUM-layout dataset:
+    memory build -> ClipLoc conversion (saved + reloaded) -> P3P-RANSAC
+    localisation -> results report (reference synth_clip_loc_trial role)."""
+    from instance_based_loc_tpu.data.synthetic import (write_tum_dataset,
+                                                       default_scene)
+    from instance_based_loc_tpu.cli.clip_loc_trial import (
+        main, make_clip_loc_parser)
+    from instance_based_loc_tpu.cli.localisation_trial import (
+        apply_convention_defaults)
+
+    scene = default_scene(num_objects=5, seed=3)
+    data = str(tmp_path / "tum")
+    write_tum_dataset(data, scene=scene, n_views=7, height=120, width=160,
+                      focal_length=150.0)
+    args = apply_convention_defaults(make_clip_loc_parser().parse_args([
+        "--convention", "tum", "--data-path", data,
+        "--embeddings", "color", "--detector", "depth",
+        "-e", "5", "--consider-floor", "--min-points", "150",
+        "--no-outlier-removal", "--focal-length", "150",
+        "--sampling-period", "1",
+        "--downsample-voxel-size", "0.02", "--dbscan-eps", "0.1",
+        "--dbscan-min-points", "40",
+        "--clip-loc-save-path", str(tmp_path / "clipmem"),
+        "--out-dir", str(tmp_path / "out"),
+        "--testname", "cli_smoke", "--quiet"]))
+    from instance_based_loc_tpu.memory import ColorRegionDetector
+    query_detector = ColorRegionDetector(min_area=80,
+                                         floor_colors=[scene.floor_color])
+    trans_errors, rot_errors = main(args, query_detector=query_detector)
+    assert (tmp_path / "out" / "cli_smoke_results.txt").exists()
+    assert (tmp_path / "clipmem" / "clip_loc_memory.pkl").exists()
+    # bbox-center P3P from RGB alone is the reference's coarse accuracy class
+    assert trans_errors[0] < 1.5, trans_errors
