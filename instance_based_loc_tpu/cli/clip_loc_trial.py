@@ -70,6 +70,8 @@ def main(args, query_detector=None, memory_detector=None):
         start_file_index=args.start_file_index,
         last_file_index=args.last_file_index,
         sampling_period=args.sampling_period,
+        map_pointcloud_cache_path=args.map_pcd_cache_path,
+        build_map=args.build_map,
     )
     depth_factor = dataloader.depth_factor
 

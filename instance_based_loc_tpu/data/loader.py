@@ -201,16 +201,34 @@ class RGBDDataset:
         """Build the environment map: backproject every map_every-th env frame,
         transform to world, merge, optionally voxel-downsample
         (tum_dataloader.py:95-112 and synth equivalent)."""
+        from ..ops.native import radius_outlier_native
+
         pts_acc, col_acc = [], []
         env = self.environment_indices[:: self.spec["map_every"]]
         for idx in env:
             rgb = load_rgb(self._rgb_images_paths[idx])
             depth = self.load_depth_scaled(idx)
+            # outlier removal runs on the native host helper here: map
+            # building is one-off host-side prep on full frames (~300k
+            # points), where the O(N^2) device kernel is right for TPU
+            # object clouds but pathological on the CPU fallback platform
             cloud = pointcloud_from_depth(
                 depth, self.focal_length_x, self.focal_length_y, rgb=rgb,
-                outlier_removal_config=self.map_outlier_config)
+                outlier_removal_config=None)
             world = self._transform(cloud, self._poses[idx])
             p, c = world.to_numpy()
+            if self.map_outlier_config is not None and len(p):
+                keep = radius_outlier_native(
+                    p, self.map_outlier_config["radius"],
+                    self.map_outlier_config["radius_nb_points"])
+                if keep is None:   # no native lib: keep the device kernel
+                    from ..ops.outliers import radius_outlier_keep_mask
+                    import jax.numpy as jnp
+                    keep = np.asarray(radius_outlier_keep_mask(
+                        jnp.asarray(p), jnp.ones(len(p), bool),
+                        radius=self.map_outlier_config["radius"],
+                        nb_points=self.map_outlier_config["radius_nb_points"]))
+                p, c = p[keep], c[keep]
             pts_acc.append(p)
             col_acc.append(c)
         pts = np.concatenate(pts_acc) if pts_acc else np.zeros((0, 3), np.float32)
