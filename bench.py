@@ -190,9 +190,37 @@ def bench_e2e():
     return fps
 
 
+def _device_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the accelerator in a subprocess: the tunneled TPU can wedge in
+    a way that hangs any device interaction forever, which would turn the
+    whole bench into a timeout. A dead probe downgrades the run to CPU so
+    the driver still gets a (clearly labeled) measurement."""
+    import subprocess
+    import sys
+    code = ("import jax, numpy as np;"
+            "np.asarray(jax.device_put(np.ones((2, 2))) + 1); print('ok')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return b"ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    import os
+    cpu_fallback = not _device_reachable()
+    if cpu_fallback:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({
+            "metric": "platform_note", "value": 0,
+            "unit": "TPU unreachable within 240s; results below are CPU "
+                    "fallback, not chip numbers", "vs_baseline": None}))
     bench_neural_path()
-    bench_neural_cascade()
+    if not cpu_fallback:   # SAM-B@1024 + GDINO@800 are not a CPU workload
+        bench_neural_cascade()
     fps = bench_e2e()
     print(json.dumps({
         "metric": "e2e_localisation_fps_per_chip",

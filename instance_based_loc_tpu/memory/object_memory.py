@@ -59,12 +59,12 @@ LOCALISE_OUTLIER_CONFIG = {"radius_nb_points": 8, "radius": 0.05}  # object_memo
 # without editing source (PERF.md knob-ablation methodology).
 REGISTRATION_CAPACITY = _env_int("IBL_REG_CAP", 1024)   # per-side point budget for assignment registration
 FPFH_CAPACITY = _env_int("IBL_FPFH_CAP", 256)    # feature subsample for the RANSAC coarse stage
-EVAL_CAPACITY = _env_int("IBL_EVAL_CAP", 4096)   # budget for full-memory evaluate_transform
+EVAL_CAPACITY = _env_int("IBL_EVAL_CAP", 2048)   # budget for full-memory evaluate_transform
 MEM_OBJECT_CAPACITY = 2048       # per-memory-object resident point budget
 PROCESS_CAPACITY = 8192          # per-detection point budget kept at build time
-NUM_HYPOTHESES = _env_int("IBL_NUM_HYP", 1024)   # ablation: 2048 -> 1024 costs no fixture
+NUM_HYPOTHESES = _env_int("IBL_NUM_HYP", 512)    # ablation: 2048 -> 512 costs no gate
 ICP_COARSE_ITERS = _env_int("IBL_ICP_COARSE", 10)  # quality (all e2e gates green) and buys
-ICP_FINE_ITERS = _env_int("IBL_ICP_FINE", 20)      # ~10 ms/query on-device
+ICP_FINE_ITERS = _env_int("IBL_ICP_FINE", 12)      # ~15 ms/query on-device combined
 ICP_EARLY_EXIT = bool(_env_int("IBL_ICP_EARLY_EXIT", 0))
                                  # while_loop + Open3D convergence criteria
                                  # instead of fixed-length scan (ops/icp.py)

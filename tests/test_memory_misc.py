@@ -100,6 +100,13 @@ def test_localise_batched_matches_single():
     eval_frames = [(frames[i][0], frames[i][1]) for i in (6, 7)]
     singles = [memory.localise(rgb, depth, outlier_removal_config=None)
                for rgb, depth in eval_frames]
+    # the overlapped pipelined path runs the identical per-query program
+    memory._frame_counter = memory._frame_counter - len(eval_frames)
+    many = memory.localise_many(eval_frames, overlap=True,
+                                outlier_removal_config=None)
+    for (p1, a1), (p2, a2) in zip(singles, many):
+        np.testing.assert_allclose(p1, p2, atol=0)
+        assert a1[0] == a2[0]
     # vmap lowering reproduces the single-query program bit-for-bit
     memory._frame_counter = memory._frame_counter - len(eval_frames)
     batched = memory.localise_batched(eval_frames, batch_mode="vmap",
