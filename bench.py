@@ -198,11 +198,15 @@ def _device_reachable(timeout_s: float = 240.0) -> bool:
     import subprocess
     import sys
     code = ("import jax, numpy as np;"
-            "np.asarray(jax.device_put(np.ones((2, 2))) + 1); print('ok')")
+            "np.asarray(jax.device_put(np.ones((2, 2))) + 1);"
+            "print('backend=' + jax.default_backend())")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
                            capture_output=True)
-        return b"ok" in r.stdout
+        # an accelerator must answer; a probe that lands on the cpu backend
+        # means the tunnel plugin is absent/broken — treat as unreachable so
+        # the heavyweight cascade bench never runs on a CPU masquerade
+        return (b"backend=" in r.stdout) and (b"backend=cpu" not in r.stdout)
     except Exception:
         return False
 

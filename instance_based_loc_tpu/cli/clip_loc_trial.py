@@ -99,9 +99,15 @@ def main(args, query_detector=None, memory_detector=None):
                                      outlier_removal_config=outlier_cfg)
             memory.downsample_all_objects(
                 voxel_size=args.downsample_voxel_size)
+            if args.remove_floor:
+                memory.remove_points_below_floor()
             memory.recluster_objects_with_dbscan(
                 eps=args.dbscan_eps,
                 min_points_per_cluster=args.dbscan_min_points)
+            if args.memory_save_path:
+                os.makedirs(os.path.dirname(
+                    os.path.abspath(args.memory_save_path)), exist_ok=True)
+                memory.save_to_pkl(args.memory_save_path)
 
         text_embed_fn = None
         if args.clip_text_checkpoint:

@@ -136,7 +136,10 @@ class ClipLocObjectMemory:
 
         rng = np.random.default_rng(seed)
         n_pairs = len(pairs)
-        if n_pairs < 3:
+        # P3P needs 3 correspondences with DISTINCT detections — with fewer
+        # than 3 detections the sampling condition below is unsatisfiable
+        # (reference behavior: solveP3P simply fails, :179-188)
+        if n_pairs < 3 or len(det) < 3:
             return None
         # similarity-guided sampling (the PROSAC ordering the reference builds
         # but never exploits — clip_loc_object_memory.py:160-168): samples
@@ -145,10 +148,14 @@ class ClipLocObjectMemory:
         pair_det = np.array([d for d, _ in pairs])
         probs = pair_sims / pair_sims.sum()
         samples = []
-        while len(samples) < rounds:
+        attempts = 0
+        while len(samples) < rounds and attempts < rounds * 20:
+            attempts += 1
             cand = rng.choice(n_pairs, size=3, replace=False, p=probs)
             if len(set(pair_det[cand])) == 3:  # three distinct detections
                 samples.append(cand)
+        if not samples:
+            return None
         samples = np.stack(samples)                        # (R, 3)
         det_idx = np.array([[pairs[i][0] for i in row] for row in samples])
         mem_idx = np.array([[pairs[i][1] for i in row] for row in samples])

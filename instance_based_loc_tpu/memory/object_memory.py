@@ -601,6 +601,9 @@ class ObjectMemory:
         context shifts backprojection by ~1 ulp, which registration can
         amplify into a different similarly-scored assignment, so it is an
         experimental option, not the default."""
+        if batch_mode not in ("vmap", "scan"):
+            raise ValueError(f"batch_mode must be 'vmap' or 'scan', "
+                             f"got {batch_mode!r}")
         batched_fn = (localise_frames_scanned if batch_mode == "scan"
                       else localise_frames_batched)
         hosts = [self._localise_host(rgb, depth, **kwargs)

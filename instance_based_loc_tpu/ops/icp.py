@@ -90,10 +90,11 @@ def icp(src_pts: jax.Array, src_mask: jax.Array,
 
         def cond(state):
             _, i, fit, rmse, prev_fit, prev_rmse = state
-            unconverged = ((jnp.abs(prev_fit - fit)
-                            > 1e-6 * jnp.maximum(prev_fit, 1e-12))
-                           | (jnp.abs(prev_rmse - rmse)
-                              > 1e-6 * jnp.maximum(prev_rmse, 1e-12)))
+            # Open3D ICPConvergenceCriteria compares the CHANGE against the
+            # criteria values absolutely (relative_fitness / relative_rmse
+            # both default 1e-6), not scaled by the current magnitude
+            unconverged = ((jnp.abs(prev_fit - fit) > 1e-6)
+                           | (jnp.abs(prev_rmse - rmse) > 1e-6))
             return (i < max_iterations) & (unconverged | (i < 2))
 
         def body(state):

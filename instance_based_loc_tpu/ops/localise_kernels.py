@@ -649,14 +649,14 @@ def localise_frames_scanned(query_f32s, query_u8s,
                             centroid_gate, keys, *,
                             h: int, w: int, d_pad: int, e_dim: int,
                             keep_debug: bool, **statics):
-    """Throughput mode for the tunneled chip: N queries in ONE program with
-    one upload and one fetch, run SEQUENTIALLY on device via `lax.scan`.
-    Unlike `localise_frames_batched` (vmap), every scan iteration keeps the
-    exact single-query program shape — the vmapped variant's batched
-    gather/scan ops scale worse than linearly (measured 96 ms/query at
-    N=12 vs 36 ms single) — so device time is N x single-query compute while
-    the per-launch tunnel overhead (~20 ms) amortizes over the batch.
-    query_f32s (N, Lf); query_u8s (N, Lb); keys (N, 2)."""
+    """N queries in ONE program with one upload and one fetch, run
+    SEQUENTIALLY on device via `lax.scan` — every iteration keeps the exact
+    single-query program shape. Measured EQUAL to the vmapped variant and
+    the pipelined path on the tunneled chip (the pipeline is
+    compute-bound, PERF.md), and its loop context shifts backprojection by
+    ~1 ulp which registration can amplify across similarly-scored
+    assignments — so this is an experimental option; `localise_batched`
+    defaults to vmap. query_f32s (N, Lf); query_u8s (N, Lb); keys (N, 2)."""
     mem_args = (mem_pts, mem_cols, mem_msk, mem_cent, mem_ex, mem_ex_valid,
                 mem_valid, eval_mem_pts, eval_mem_msk, subsets)
     scalars = (fx, fy, radius, voxel_size, global_dist_factor,

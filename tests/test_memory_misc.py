@@ -112,7 +112,7 @@ def test_localise_batched_matches_single():
     batched = memory.localise_batched(eval_frames, batch_mode="vmap",
                                       outlier_removal_config=None)
     for (p1, a1), (p2, a2) in zip(singles, batched):
-        np.testing.assert_allclose(p1, p2, atol=1e-5)
+        np.testing.assert_allclose(p1, p2, atol=0)
         assert a1[0] == a2[0]
     # scan mode drifts ~1 ulp in backprojection (XLA loop fusion rounding,
     # PERF.md), which registration can amplify into a different
