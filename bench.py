@@ -213,6 +213,10 @@ def _device_reachable(timeout_s: float = 240.0) -> bool:
 
 def main():
     import os
+    import sys
+    profile_dir = None
+    if "--profile" in sys.argv:   # jax.profiler trace of the e2e stage
+        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
     cpu_fallback = not _device_reachable()
     if cpu_fallback:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -225,7 +229,12 @@ def main():
     bench_neural_path()
     if not cpu_fallback:   # SAM-B@1024 + GDINO@800 are not a CPU workload
         bench_neural_cascade()
-    fps = bench_e2e()
+    if profile_dir:
+        from instance_based_loc_tpu.utils.profiling import device_trace
+        with device_trace(profile_dir):
+            fps = bench_e2e()
+    else:
+        fps = bench_e2e()
     print(json.dumps({
         "metric": "e2e_localisation_fps_per_chip",
         "value": round(fps, 3),
