@@ -27,7 +27,7 @@ from ..memory.clip_loc import ClipLocObjectMemory
 from ..models.embedders import get_embedder
 from ..utils.metrics import pose_errors, format_results_report, is_success
 from .localisation_trial import (apply_convention_defaults, build_detector,
-                                 make_parser)
+                                 build_memory, make_parser)
 
 
 def build_clip_loc_detector(args):
@@ -73,8 +73,6 @@ def main(args, query_detector=None, memory_detector=None):
         map_pointcloud_cache_path=args.map_pcd_cache_path,
         build_map=args.build_map,
     )
-    depth_factor = dataloader.depth_factor
-
     if args.clip_loc_load_path:
         clip_mem = ClipLocObjectMemory.load(args.clip_loc_load_path,
                                             log_enabled=not args.quiet)
@@ -90,24 +88,8 @@ def main(args, query_detector=None, memory_detector=None):
         else:
             outlier_cfg = None if args.no_outlier_removal else {
                 "radius_nb_points": 12, "radius": 0.05}
-            for idx in dataloader.environment_indices:
-                rgb_path, depth_path, pose = dataloader.get_image_data(idx)
-                memory.process_image(rgb_path, depth_path, pose,
-                                     consider_floor=args.consider_floor,
-                                     depth_factor=depth_factor,
-                                     min_points=args.min_points,
-                                     outlier_removal_config=outlier_cfg)
-            memory.downsample_all_objects(
-                voxel_size=args.downsample_voxel_size)
-            if args.remove_floor:
-                memory.remove_points_below_floor()
-            memory.recluster_objects_with_dbscan(
-                eps=args.dbscan_eps,
-                min_points_per_cluster=args.dbscan_min_points)
-            if args.memory_save_path:
-                os.makedirs(os.path.dirname(
-                    os.path.abspath(args.memory_save_path)), exist_ok=True)
-                memory.save_to_pkl(args.memory_save_path)
+            build_memory(args, memory, dataloader, outlier_cfg,
+                         recluster="dbscan")
 
         text_embed_fn = None
         if args.clip_text_checkpoint:

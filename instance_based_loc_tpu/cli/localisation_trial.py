@@ -87,6 +87,48 @@ def build_detector(args):
     raise ValueError(f"unknown detector {args.detector}")
 
 
+def build_memory(args, memory, dataloader, outlier_cfg,
+                 recluster: str = "clustering_and_IoU"):
+    """The trial scripts' shared memory-build phase (reference
+    tum_localisation_trial.py:97-176): process every environment frame,
+    downsample, optional floor removal, recluster, optional pkl save."""
+    depth_factor = dataloader.depth_factor
+    for idx in dataloader.environment_indices:
+        rgb_path, depth_path, pose = dataloader.get_image_data(idx)
+        memory.process_image(rgb_path, depth_path, pose,
+                             consider_floor=args.consider_floor,
+                             depth_factor=depth_factor,
+                             min_points=args.min_points,
+                             outlier_removal_config=outlier_cfg)
+        mem_gb, dev_gb = get_mem_stats()
+        if not args.quiet:
+            print(f"Using {mem_gb} GB of memory and {dev_gb} GB of device")
+
+    memory.downsample_all_objects(voxel_size=args.downsample_voxel_size)
+    if args.remove_floor:
+        memory.remove_points_below_floor()
+    if recluster == "clustering_and_IoU":
+        memory.recluster_via_clustering_and_IoU(
+            embedding_distance_threshold=args.embedding_distance_threshold,
+            eps=args.dbscan_eps,
+            min_points_per_cluster=args.dbscan_min_points,
+            IoU_threshold=args.iou_threshold)
+    elif recluster == "dbscan":
+        memory.recluster_objects_with_dbscan(
+            eps=args.dbscan_eps,
+            min_points_per_cluster=args.dbscan_min_points)
+    else:
+        raise ValueError(f"unknown recluster strategy {recluster!r}")
+    if not args.quiet:
+        print("\nMemory is")
+        print(memory)
+    if args.memory_save_path:
+        os.makedirs(os.path.dirname(os.path.abspath(args.memory_save_path)),
+                    exist_ok=True)
+        memory.save_to_pkl(args.memory_save_path)
+    return memory
+
+
 def main(args, detector=None):
     embeddings_func = get_embedder(args.embeddings)
     if detector is None:
@@ -128,29 +170,8 @@ def main(args, detector=None):
     if args.load_memory and args.memory_load_path:
         memory.load(args.memory_load_path)
     else:
-        for idx in dataloader.environment_indices:
-            rgb_path, depth_path, pose = dataloader.get_image_data(idx)
-            memory.process_image(rgb_path, depth_path, pose,
-                                 consider_floor=args.consider_floor,
-                                 depth_factor=depth_factor,
-                                 min_points=args.min_points,
-                                 outlier_removal_config=outlier_cfg)
-            mem_gb, dev_gb = get_mem_stats()
-            print(f"Using {mem_gb} GB of memory and {dev_gb} GB of device")
-
-        memory.downsample_all_objects(voxel_size=args.downsample_voxel_size)
-        if args.remove_floor:
-            memory.remove_points_below_floor()
-        memory.recluster_via_clustering_and_IoU(
-            embedding_distance_threshold=args.embedding_distance_threshold,
-            eps=args.dbscan_eps, min_points_per_cluster=args.dbscan_min_points,
-            IoU_threshold=args.iou_threshold)
-        print("\nMemory is")
-        print(memory)
-        if args.memory_save_path:
-            os.makedirs(os.path.dirname(os.path.abspath(args.memory_save_path)),
-                        exist_ok=True)
-            memory.save_to_pkl(args.memory_save_path)
+        build_memory(args, memory, dataloader, outlier_cfg,
+                     recluster="clustering_and_IoU")
 
     trans_errors, rot_errors, assignments, preds, tgts = [], [], [], [], []
     for idx in args.eval_img_inds:

@@ -172,3 +172,43 @@ def test_tum_format_end_to_end(tmp_path):
                              outlier_removal_config=None)
     te, re_ = pose_errors(target, est)
     assert is_success(te, re_), (te, re_)
+
+
+def test_localisation_trial_cli(tmp_path):
+    """The main trial CLI end-to-end on a tiny TUM-layout dataset through
+    the shared build_memory phase: build -> save pkl -> localise -> report
+    (reference tum_localisation_trial.py flow)."""
+    from instance_based_loc_tpu.data.synthetic import (write_tum_dataset,
+                                                       default_scene)
+    from instance_based_loc_tpu.cli.localisation_trial import (
+        main, make_parser, apply_convention_defaults)
+
+    scene = default_scene(num_objects=4, seed=5)
+    data = str(tmp_path / "tum")
+    write_tum_dataset(data, scene=scene, n_views=7, height=120, width=160,
+                      focal_length=150.0)
+    args = apply_convention_defaults(make_parser().parse_args([
+        "--convention", "tum", "--data-path", data,
+        "--embeddings", "color", "--detector", "color",
+        "-e", "5", "--consider-floor", "--min-points", "150",
+        "--no-outlier-removal", "--focal-length", "150",
+        "--sampling-period", "1",
+        "--downsample-voxel-size", "0.02", "--dbscan-eps", "0.1",
+        "--dbscan-min-points", "40",
+        # the tum convention defaults mirror the reference's mm-scale
+        # sensor tuning (local factor 1.5); coarse synthetic depth wants
+        # the synth factors (same situation as --no-outlier-removal)
+        "--fpfh-global-dist-factor", "2.0",
+        "--fpfh-local-dist-factor", "0.4",
+        "--memory-save-path", str(tmp_path / "mem.pkl"),
+        "--out-dir", str(tmp_path / "out"),
+        "--testname", "cli_smoke", "--quiet"]))
+    # floor suppression needs the scene's floor color (the weights-free
+    # detector has no scene knowledge; main() accepts an injected detector)
+    detector = ColorRegionDetector(min_area=80,
+                                   floor_colors=[scene.floor_color])
+    trans_errors, rot_errors = main(args, detector=detector)
+    assert (tmp_path / "out" / "cli_smoke_results.txt").exists()
+    assert (tmp_path / "mem.pkl").exists()
+    assert trans_errors[0] < 0.6 and rot_errors[0] < 0.3, (
+        trans_errors, rot_errors)
