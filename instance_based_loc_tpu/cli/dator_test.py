@@ -52,7 +52,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from ..config import load_config
     from ..models.dator.data import PKSampler, scan_instance_dirs
-    from ..models.dator.train import TrainConfig, create_train_state, restore_checkpoint
+    from ..models.dator.train import create_train_state, restore_checkpoint
     from ..models.dator.metrics import cosine_distmat, cmc_map, k_reciprocal_rerank
 
     cfg = load_config(args.config, args.opts)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..ops.pointcloud import PointCloud, round_up_pow2
 from ..ops.outliers import DEFAULT_OUTLIER_REMOVAL_CONFIG
 from ..ops.iou3d import pairwise_obb_iou
-from ..ops.localise_kernels import (localise_frame, localise_frame_packed,
+from ..ops.localise_kernels import (localise_frame_packed,
                                     localise_frames_batched,
                                     localise_frames_scanned,
                                     localise_packed_spec, process_frame,

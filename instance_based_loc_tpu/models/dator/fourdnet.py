@@ -29,7 +29,6 @@ parallel/sharding.py). grid_sample becomes a vectorized gather
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,6 @@ round-trips through npz.
 
 from __future__ import annotations
 
-import os
 import pickle
 
 import numpy as np

@@ -22,7 +22,6 @@ HF torch models, since no pretrained weights can be downloaded here).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import flax.linen as nn

@@ -11,8 +11,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .pointcloud import masked_mean
-
 
 def kabsch_transform(p: jax.Array, q: jax.Array,
                      weights: jax.Array | None = None) -> jax.Array:

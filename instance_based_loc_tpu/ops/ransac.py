@@ -28,7 +28,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .distance import pairwise_sq_dists, masked_nearest
+from .distance import masked_nearest
 from .kabsch import kabsch_transform, apply_transform
 
 
