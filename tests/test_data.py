@@ -146,3 +146,80 @@ def test_hm3d_episode_generator_roundtrip(tmp_path):
     assert np.asarray(pose).shape == (7,)
     # quaternion stays unit after the pose[-2] fix
     assert abs(np.linalg.norm(np.asarray(pose)[3:]) - 1.0) < 1e-5
+
+
+def test_real_pose_parsing(tmp_path):
+    """real convention: poses_odom.txt with a header row, cols [1:-1] as the
+    7-vec pose, depth factor 1000 (reference real_dataloader.py:59-66,94)."""
+    import numpy as np
+    from PIL import Image
+    from instance_based_loc_tpu.data.loader import RGBDDataset
+
+    (tmp_path / "rgb").mkdir()
+    (tmp_path / "depth").mkdir()
+    rng = np.random.default_rng(0)
+    rows = ["timestamp tx ty tz qx qy qz qw extra"]
+    truth = []
+    for i in range(3):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        pose = np.concatenate([rng.uniform(-2, 2, 3), q])
+        truth.append(pose)
+        rows.append(f"{i}.0 " + " ".join(f"{v:.6f}" for v in pose) + " 99")
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            tmp_path / "rgb" / f"frame_{i:04d}.png")
+        Image.fromarray(np.zeros((8, 8), np.uint16)).save(
+            tmp_path / "depth" / f"frame_{i:04d}.png")
+    (tmp_path / "poses_odom.txt").write_text("\n".join(rows) + "\n")
+
+    ds = RGBDDataset(str(tmp_path), evaluation_indices=[], convention="real",
+                     focal_length_x=100.0, focal_length_y=100.0,
+                     build_map=False)
+    assert ds.depth_factor == 1000.0
+    assert len(ds) == 3
+    for i in range(3):
+        _, _, pose = ds.get_image_data(i)
+        np.testing.assert_allclose(pose, truth[i], atol=1e-5)
+
+
+def test_8room_pose_parsing(tmp_path):
+    """8room convention: per-frame ast-literal pose files with euler degrees
+    + rot_correction on x, map build disabled
+    (reference eightroom_dataloader.py:68-106)."""
+    import numpy as np
+    from PIL import Image
+    from scipy.spatial.transform import Rotation
+    from instance_based_loc_tpu.data.loader import RGBDDataset
+
+    for sub in ("rgb", "depth", "pose"):
+        (tmp_path / sub).mkdir()
+    rng = np.random.default_rng(1)
+    truth_t, truth_e = [], []
+    for i in range(3):
+        t = rng.uniform(-3, 3, 3)
+        e = rng.uniform(-40, 40, 3)
+        truth_t.append(t)
+        truth_e.append(e)
+        pose_repr = repr([
+            {"x": float(t[0]), "y": float(t[1]), "z": float(t[2])},
+            {"x": float(e[0]), "y": float(e[1]), "z": float(e[2])},
+        ])
+        (tmp_path / "pose" / f"frame_{i:04d}.txt").write_text(pose_repr)
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(
+            tmp_path / "rgb" / f"frame_{i:04d}.png")
+        Image.fromarray(np.zeros((8, 8), np.uint16)).save(
+            tmp_path / "depth" / f"frame_{i:04d}.png")
+
+    rc = 5.0
+    ds = RGBDDataset(str(tmp_path), evaluation_indices=[],
+                     convention="8room", focal_length_x=100.0,
+                     focal_length_y=100.0, rot_correction=rc)
+    assert ds.map_pointcloud is None      # map build disabled for 8room
+    for i in range(3):
+        _, _, pose = ds.get_image_data(i)
+        np.testing.assert_allclose(pose[:3], truth_t[i], atol=1e-6)
+        e = truth_e[i]
+        q = Rotation.from_euler(
+            "xyz", [e[0] + rc, e[1], e[2]], degrees=True).as_quat()
+        np.testing.assert_allclose(
+            np.abs(np.dot(pose[3:], q)), 1.0, atol=1e-6)
