@@ -9,7 +9,11 @@ Run on CPU (sanity only):   PYTHONPATH=. JAX_PLATFORMS=cpu python perf/serving_m
 One TPU job at a time — see .claude/skills/verify/SKILL.md.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
