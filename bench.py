@@ -190,25 +190,34 @@ def bench_e2e():
     return fps
 
 
-def _device_reachable(timeout_s: float = 240.0) -> bool:
+def _device_reachable(timeout_s: float = 240.0, attempts: int = 4,
+                      retry_sleep_s: float = 90.0) -> bool:
     """Probe the accelerator in a subprocess: the tunneled TPU can wedge in
     a way that hangs any device interaction forever, which would turn the
-    whole bench into a timeout. A dead probe downgrades the run to CPU so
-    the driver still gets a (clearly labeled) measurement."""
+    whole bench into a timeout. The observed outages flap in ~5-30 min
+    phases, so the probe retries with backoff before downgrading the run to
+    CPU (clearly labeled) — a patient probe beats recording CPU numbers for
+    a chip that was 5 minutes from recovering."""
     import subprocess
     import sys
     code = ("import jax, numpy as np;"
             "np.asarray(jax.device_put(np.ones((2, 2))) + 1);"
             "print('backend=' + jax.default_backend())")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        # an accelerator must answer; a probe that lands on the cpu backend
-        # means the tunnel plugin is absent/broken — treat as unreachable so
-        # the heavyweight cascade bench never runs on a CPU masquerade
-        return (b"backend=" in r.stdout) and (b"backend=cpu" not in r.stdout)
-    except Exception:
-        return False
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(retry_sleep_s)
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            # an accelerator must answer; a probe that lands on the cpu
+            # backend means the tunnel plugin is absent/broken — treat as
+            # unreachable so the heavyweight cascade bench never runs on a
+            # CPU masquerade
+            if (b"backend=" in r.stdout) and (b"backend=cpu" not in r.stdout):
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def main():
