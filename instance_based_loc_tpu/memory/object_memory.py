@@ -68,6 +68,15 @@ ICP_FINE_ITERS = _env_int("IBL_ICP_FINE", 12)      # ~15 ms/query on-device comb
 ICP_EARLY_EXIT = bool(_env_int("IBL_ICP_EARLY_EXIT", 0))
                                  # while_loop + Open3D convergence criteria
                                  # instead of fixed-length scan (ops/icp.py)
+REG_SEEDS = _env_int("IBL_REG_SEEDS", 1)   # independent registration seeds
+                                 # per assignment (extra vmap lanes; best
+                                 # copy wins). Opt-in robustness against
+                                 # unlucky RANSAC/subsample draws at ~no
+                                 # wall cost (lanes are parallel); default 1
+                                 # = exact reference semantics — a 36-draw
+                                 # CPU sweep measured 0 seed failures either
+                                 # way, so there is no evidence basis for
+                                 # shipping redundancy on by default
 
 
 @jax.jit
@@ -736,7 +745,8 @@ class ObjectMemory:
                 eval_cap=EVAL_CAPACITY, num_hyp=NUM_HYPOTHESES,
                 icp_coarse_iters=ICP_COARSE_ITERS,
                 icp_fine_iters=ICP_FINE_ITERS,
-                icp_early_exit=ICP_EARLY_EXIT)
+                icp_early_exit=ICP_EARLY_EXIT,
+                reg_seeds=REG_SEEDS)
             scalars = (jnp.float32(self.camera_focal_lenth_x),
                        jnp.float32(self.camera_focal_lenth_y),
                        jnp.float32(cfg["radius"] if cfg else 0.05),

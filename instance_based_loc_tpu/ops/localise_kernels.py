@@ -379,7 +379,8 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
                     centroid_gate, key, *,
                     reg_cap: int, fpfh_cap: int, eval_cap: int,
                     num_hyp: int, icp_coarse_iters: int,
-                    icp_fine_iters: int, icp_early_exit: bool = False):
+                    icp_fine_iters: int, icp_early_exit: bool = False,
+                    reg_seeds: int = 1):
     """ALL assignment registrations + evaluation + selection + pose
     composition in one program (reference object_memory.py:1020-1131).
 
@@ -417,7 +418,18 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
         sidx, skeep = _masked_subsample(up, um, reg_cap, kk)
         return up[sidx] - mean, uc[sidx], skeep, mean
 
-    keys = jax.random.split(kroot, a_pad * 2).reshape(a_pad, 2, 2)
+    # seed-redundant registration: each assignment is registered
+    # reg_seeds times with independent subsample/RANSAC keys and the
+    # best copy wins the global argmax. The extra copies are more vmap
+    # lanes — the sequential ICP iterations dominate wall time and are
+    # lane-parallel, so robustness against unlucky seeds is nearly free.
+    if reg_seeds > 1:
+        assn_det = jnp.tile(assn_det, (reg_seeds, 1))
+        assn_mem = jnp.tile(assn_mem, (reg_seeds, 1))
+        pair_valid = jnp.tile(pair_valid, (reg_seeds, 1))
+        assn_valid = jnp.tile(assn_valid, (reg_seeds,))
+    a_rows = assn_det.shape[0]
+    keys = jax.random.split(kroot, a_rows * 2).reshape(a_rows, 2, 2)
 
     def one_assignment(det_idx, mem_idx, pvalid, kk):
         sp, sc, sm, dmean = build_side(sel_pts, sel_cols, sel_msk,
@@ -470,6 +482,16 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
      mmeans) = jax.vmap(one_assignment)(assn_det, assn_mem, pair_valid, keys)
 
     score = jnp.where(assn_valid, scores, -jnp.inf)
+    if reg_seeds > 1:
+        # keep only each logical assignment's best-scoring seed copy, so
+        # every fetched array stays (a_pad, ...) and the host side is
+        # oblivious to the redundancy
+        sel = jnp.argmax(score.reshape(reg_seeds, a_pad), axis=0)
+        idx = sel * a_pad + jnp.arange(a_pad)
+        (T, gT, rmse, fitness, full_rmse, full_fitness, score, dmeans,
+         mmeans) = (x[idx] for x in
+                    (T, gT, rmse, fitness, full_rmse, full_fitness, score,
+                     dmeans, mmeans))
     best = jnp.argmax(score)
 
     # pose composition from the best assignment's means
@@ -488,7 +510,7 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
 
 register_select = partial(jax.jit, static_argnames=(
     "reg_cap", "fpfh_cap", "eval_cap", "num_hyp", "icp_coarse_iters",
-    "icp_fine_iters", "icp_early_exit"))(_register_select_body)
+    "icp_fine_iters", "icp_early_exit", "reg_seeds"))(_register_select_body)
 
 
 # --------------------------------------------------------------------------- #
@@ -498,7 +520,8 @@ register_select = partial(jax.jit, static_argnames=(
                                    "nb_points", "min_det_points", "a_pad",
                                    "reg_cap", "fpfh_cap", "eval_cap",
                                    "num_hyp", "icp_coarse_iters",
-                                   "icp_fine_iters", "icp_early_exit"))
+                                   "icp_fine_iters", "icp_early_exit",
+                                   "reg_seeds"))
 def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    mem_pts, mem_cols, mem_msk, mem_cent,
                    mem_ex, mem_ex_valid, mem_valid,
@@ -510,7 +533,8 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    nb_points: int, min_det_points: int, a_pad: int,
                    reg_cap: int, fpfh_cap: int, eval_cap: int,
                    num_hyp: int, icp_coarse_iters: int,
-                   icp_fine_iters: int, icp_early_exit: bool = False):
+                   icp_fine_iters: int, icp_early_exit: bool = False,
+                   reg_seeds: int = 1):
     """The whole localise query (reference object_memory.py:852-1169) as one
     XLA program: preparation + assignment selection + registration +
     evaluation + pose composition. One upload, one dispatch, one small fetch
@@ -540,7 +564,8 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
         centroid_gate, kreg,
         reg_cap=reg_cap, fpfh_cap=fpfh_cap, eval_cap=eval_cap,
         num_hyp=num_hyp, icp_coarse_iters=icp_coarse_iters,
-        icp_fine_iters=icp_fine_iters, icp_early_exit=icp_early_exit)
+        icp_fine_iters=icp_fine_iters, icp_early_exit=icp_early_exit,
+        reg_seeds=reg_seeds)
 
     out = dict(pose7=pose7, best=best,
                assn_det=assn_det, assn_mem=assn_mem,
@@ -553,8 +578,8 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
 _PACKED_STATICS = ("top_n", "budget", "outlier_passes", "nb_points",
                    "min_det_points", "a_pad", "reg_cap", "fpfh_cap",
                    "eval_cap", "num_hyp", "icp_coarse_iters",
-                   "icp_fine_iters", "icp_early_exit", "h", "w", "d_pad",
-                   "e_dim", "keep_debug")
+                   "icp_fine_iters", "icp_early_exit", "reg_seeds", "h",
+                   "w", "d_pad", "e_dim", "keep_debug")
 
 
 def _packed_body(query_f32, query_u8, mem_args, scalars, key,
