@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--focal-length", type=float, default=200.0)
     p.add_argument("--n-views", type=int, default=8)
     p.add_argument("--min-points", type=int, default=200)
+    p.add_argument("--num-objects", type=int, default=6,
+                   help="scene instances for --synthetic")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from ..memory.dataset_memory import ObjectDatasetMemory
@@ -30,7 +33,7 @@ def main(argv=None):
 
     if args.synthetic or args.data_path is None:
         from ..data.synthetic import default_scene, render_scene, ring_poses
-        scene = default_scene(num_objects=6, seed=0)
+        scene = default_scene(num_objects=args.num_objects, seed=args.seed)
         poses = ring_poses(args.n_views, radius=4.5, height=1.3,
                            target=(0, 0.4, 0))
         detector = ColorRegionDetector(min_area=80,
