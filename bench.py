@@ -235,21 +235,28 @@ def main():
             "metric": "platform_note", "value": 0,
             "unit": "TPU unreachable within 240s; results below are CPU "
                     "fallback, not chip numbers", "vs_baseline": None}))
-    bench_neural_path()
-    if not cpu_fallback:   # SAM-B@1024 + GDINO@800 are not a CPU workload
-        bench_neural_cascade()
+    # The HEADLINE metric runs FIRST and its JSON prints immediately, so a
+    # driver-side timeout that kills the run mid-way through the (compile-
+    # heavy, ~20 min over the tunnel) neural metrics still leaves a valid
+    # metric as the last JSON line of the captured output.
     if profile_dir:
         from instance_based_loc_tpu.utils.profiling import device_trace
         with device_trace(profile_dir):
             fps = bench_e2e()
     else:
         fps = bench_e2e()
-    print(json.dumps({
+    e2e_line = json.dumps({
         "metric": "e2e_localisation_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
-    }))
+    })
+    print(e2e_line, flush=True)
+    bench_neural_path()
+    if not cpu_fallback:   # SAM-B@1024 + GDINO@800 are not a CPU workload
+        bench_neural_cascade()
+    # reprint: the driver parses the LAST line
+    print(e2e_line)
 
 
 if __name__ == "__main__":
