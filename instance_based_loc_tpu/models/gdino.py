@@ -14,7 +14,7 @@ checkpoints) so `port_hf_gdino_params` round-trips real weights:
 * feature-enhancer encoder: per layer, bi-directional image<->text fusion
   (GLIP-style BiMultiHeadAttention with layer-scale residuals), text
   self-attention enhancer, and multi-scale deformable self-attention over
-  the flattened pyramid (ops/pallas/msda.py — the reference's custom CUDA
+  the flattened pyramid (ops/msda.py — the reference's custom CUDA
   op, here one fused XLA gather program);
 * language-guided query selection (two-stage): encoder outputs scored by
   contrastive similarity with the enhanced text, top num_queries proposals
@@ -41,7 +41,7 @@ import numpy as np
 
 from .swin import SwinTransformer, SwinConfig, port_hf_swin_params
 from .bert import BertEncoder, BertConfig, port_hf_bert_params
-from ..ops.pallas.msda import multi_scale_deformable_attention
+from ..ops.msda import multi_scale_deformable_attention
 
 # [CLS], [SEP], '.', '?' in the BERT vocab — phrase delimiters
 SPECIAL_TOKEN_IDS = (101, 102, 1012, 1029)

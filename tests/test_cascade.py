@@ -86,7 +86,7 @@ def test_cxcywh_to_xyxy():
 def test_msda_matches_torch_reference(rng):
     import torch
     import torch.nn.functional as F
-    from instance_based_loc_tpu.ops.pallas.msda import \
+    from instance_based_loc_tpu.ops.msda import \
         multi_scale_deformable_attention
 
     b, heads, d = 2, 4, 8
