@@ -68,6 +68,15 @@ ICP_FINE_ITERS = _env_int("IBL_ICP_FINE", 12)      # ~15 ms/query on-device comb
 ICP_EARLY_EXIT = bool(_env_int("IBL_ICP_EARLY_EXIT", 0))
                                  # while_loop + Open3D convergence criteria
                                  # instead of fixed-length scan (ops/icp.py)
+FPFH_MAX_NN = _env_int("IBL_FPFH_NN", 50)   # FPFH hybrid-KNN neighbor cap.
+                                 # Open3D KDTreeSearchParamHybrid uses 100;
+                                 # the (N, k, 33) gather tensors scale with
+                                 # it and 100 -> 50 cuts the fused query
+                                 # from 19.3 to 16.4 ms (trace-exact) with
+                                 # every quality gate green — FPFH only
+                                 # seeds the coarse basin here (Kabsch init
+                                 # competes, ICP refines). IBL_FPFH_NN=100
+                                 # restores the reference neighborhood.
 REG_SEEDS = _env_int("IBL_REG_SEEDS", 1)   # independent registration seeds
                                  # per assignment (extra vmap lanes; best
                                  # copy wins). Opt-in robustness against
@@ -746,7 +755,7 @@ class ObjectMemory:
                 icp_coarse_iters=ICP_COARSE_ITERS,
                 icp_fine_iters=ICP_FINE_ITERS,
                 icp_early_exit=ICP_EARLY_EXIT,
-                reg_seeds=REG_SEEDS)
+                reg_seeds=REG_SEEDS, fpfh_nn=FPFH_MAX_NN)
             scalars = (jnp.float32(self.camera_focal_lenth_x),
                        jnp.float32(self.camera_focal_lenth_y),
                        jnp.float32(cfg["radius"] if cfg else 0.05),

@@ -330,7 +330,7 @@ def select_assignments(subsets: np.ndarray, vol_vals: np.ndarray,
 def _register_one(sp, sc, sm, tp, tc, tm, init_T, has_init, key, *,
                   fpfh_cap, voxel_size, global_dist_factor,
                   local_dist_factor, num_hyp, icp_coarse_iters,
-                  icp_fine_iters, icp_early_exit):
+                  icp_fine_iters, icp_early_exit, fpfh_nn=100):
     """One assignment: FPFH+RANSAC coarse align on a feature subsample, best
     init (RANSAC vs centroid-Kabsch) picked by coarse inlier count, then
     multi-scale colored ICP (reference fpfh_register.py:100-143 + the
@@ -346,8 +346,8 @@ def _register_one(sp, sc, sm, tp, tc, tm, init_T, has_init, key, *,
     ftp, ftm = tp[:fpfh_cap], tm[:fpfh_cap]
     sn = estimate_normals(fsp, fsm, radius_normal, max_nn=30)
     tn = estimate_normals(ftp, ftm, radius_normal, max_nn=30)
-    sf = compute_fpfh(fsp, sn, fsm, radius_feature, max_nn=100)
-    tf = compute_fpfh(ftp, tn, ftm, radius_feature, max_nn=100)
+    sf = compute_fpfh(fsp, sn, fsm, radius_feature, max_nn=fpfh_nn)
+    tf = compute_fpfh(ftp, tn, ftm, radius_feature, max_nn=fpfh_nn)
     ci, cv = feature_correspondences(sf, fsm, tf, ftm, mutual=True)
     T_ransac, _, _ = ransac_registration(
         fsp, fsm, ftp, ci, cv, voxel_size * global_dist_factor, key,
@@ -380,7 +380,7 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
                     reg_cap: int, fpfh_cap: int, eval_cap: int,
                     num_hyp: int, icp_coarse_iters: int,
                     icp_fine_iters: int, icp_early_exit: bool = False,
-                    reg_seeds: int = 1):
+                    reg_seeds: int = 1, fpfh_nn: int = 100):
     """ALL assignment registrations + evaluation + selection + pose
     composition in one program (reference object_memory.py:1020-1131).
 
@@ -450,7 +450,7 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
             local_dist_factor=local_dist_factor, num_hyp=num_hyp,
             icp_coarse_iters=icp_coarse_iters,
             icp_fine_iters=icp_fine_iters,
-            icp_early_exit=icp_early_exit)
+            icp_early_exit=icp_early_exit, fpfh_nn=fpfh_nn)
 
         # compose the global transform and evaluate on the FULL clouds
         # (object_memory.py:1096-1106)
@@ -510,7 +510,8 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
 
 register_select = partial(jax.jit, static_argnames=(
     "reg_cap", "fpfh_cap", "eval_cap", "num_hyp", "icp_coarse_iters",
-    "icp_fine_iters", "icp_early_exit", "reg_seeds"))(_register_select_body)
+    "icp_fine_iters", "icp_early_exit", "reg_seeds",
+    "fpfh_nn"))(_register_select_body)
 
 
 # --------------------------------------------------------------------------- #
@@ -521,7 +522,7 @@ register_select = partial(jax.jit, static_argnames=(
                                    "reg_cap", "fpfh_cap", "eval_cap",
                                    "num_hyp", "icp_coarse_iters",
                                    "icp_fine_iters", "icp_early_exit",
-                                   "reg_seeds"))
+                                   "reg_seeds", "fpfh_nn"))
 def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    mem_pts, mem_cols, mem_msk, mem_cent,
                    mem_ex, mem_ex_valid, mem_valid,
@@ -534,7 +535,7 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    reg_cap: int, fpfh_cap: int, eval_cap: int,
                    num_hyp: int, icp_coarse_iters: int,
                    icp_fine_iters: int, icp_early_exit: bool = False,
-                   reg_seeds: int = 1):
+                   reg_seeds: int = 1, fpfh_nn: int = 100):
     """The whole localise query (reference object_memory.py:852-1169) as one
     XLA program: preparation + assignment selection + registration +
     evaluation + pose composition. One upload, one dispatch, one small fetch
@@ -565,7 +566,7 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
         reg_cap=reg_cap, fpfh_cap=fpfh_cap, eval_cap=eval_cap,
         num_hyp=num_hyp, icp_coarse_iters=icp_coarse_iters,
         icp_fine_iters=icp_fine_iters, icp_early_exit=icp_early_exit,
-        reg_seeds=reg_seeds)
+        reg_seeds=reg_seeds, fpfh_nn=fpfh_nn)
 
     out = dict(pose7=pose7, best=best,
                assn_det=assn_det, assn_mem=assn_mem,
@@ -578,8 +579,8 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
 _PACKED_STATICS = ("top_n", "budget", "outlier_passes", "nb_points",
                    "min_det_points", "a_pad", "reg_cap", "fpfh_cap",
                    "eval_cap", "num_hyp", "icp_coarse_iters",
-                   "icp_fine_iters", "icp_early_exit", "reg_seeds", "h",
-                   "w", "d_pad", "e_dim", "keep_debug")
+                   "icp_fine_iters", "icp_early_exit", "reg_seeds",
+                   "fpfh_nn", "h", "w", "d_pad", "e_dim", "keep_debug")
 
 
 def _packed_body(query_f32, query_u8, mem_args, scalars, key,
