@@ -63,8 +63,10 @@ EVAL_CAPACITY = _env_int("IBL_EVAL_CAP", 2048)   # budget for full-memory evalua
 MEM_OBJECT_CAPACITY = 2048       # per-memory-object resident point budget
 PROCESS_CAPACITY = 8192          # per-detection point budget kept at build time
 NUM_HYPOTHESES = _env_int("IBL_NUM_HYP", 512)    # ablation: 2048 -> 512 costs no gate
-ICP_COARSE_ITERS = _env_int("IBL_ICP_COARSE", 10)  # quality (all e2e gates green) and buys
-ICP_FINE_ITERS = _env_int("IBL_ICP_FINE", 12)      # ~15 ms/query on-device combined
+ICP_COARSE_ITERS = _env_int("IBL_ICP_COARSE", 8)   # every e2e/scale gate green at
+ICP_FINE_ITERS = _env_int("IBL_ICP_FINE", 10)      # 8+10; trace-exact -1.1 ms/query
+                                 # vs 10+12 (Kabsch/RANSAC init means few
+                                 # iterations are spent far from the optimum)
 ICP_EARLY_EXIT = bool(_env_int("IBL_ICP_EARLY_EXIT", 0))
                                  # while_loop + Open3D convergence criteria
                                  # instead of fixed-length scan (ops/icp.py)

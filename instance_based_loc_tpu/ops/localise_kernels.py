@@ -191,7 +191,14 @@ def _prepare_body(depth, rgb, masks, det_embs, det_valid,
         vol = jnp.where(bad, -jnp.inf, vol)
         return jax.lax.top_k(vol.reshape(-1), budget)
 
-    vol_vals, vol_idx = jax.lax.map(one_subset, subsets)
+    # small memories: all C(top_n, k) subset volumes fit comfortably at
+    # once — vmap them (lax.map runs 35 SEQUENTIAL top_k's, ~1 ms of the
+    # fused query). Big memories keep the sequential map so peak memory
+    # stays one (m_pad+1)^k volume (128-object memory: 2.1M entries each).
+    if subsets.shape[0] * m1 ** k <= 1 << 20:
+        vol_vals, vol_idx = jax.vmap(one_subset)(subsets)
+    else:
+        vol_vals, vol_idx = jax.lax.map(one_subset, subsets)
 
     fetch = dict(order=order, counts=ocounts, active=active, sims=sims,
                  vol_vals=vol_vals, vol_idx=vol_idx)
