@@ -215,8 +215,10 @@ def _device_reachable(timeout_s: float = 240.0, attempts: int = 4,
             # CPU masquerade
             if (b"backend=" in r.stdout) and (b"backend=cpu" not in r.stdout):
                 return True
+            if b"backend=cpu" in r.stdout:
+                return False   # plugin absent: deterministic, don't retry
         except Exception:
-            pass
+            pass               # timeout/crash: a wedged tunnel may recover
     return False
 
 
