@@ -113,6 +113,40 @@ def icp(src_pts: jax.Array, src_mask: jax.Array,
     return T, fitness, rmse
 
 
+@partial(jax.jit, static_argnames=("use_colors",))
+def icp_scheduled(src_pts: jax.Array, src_mask: jax.Array,
+                  tgt_pts: jax.Array, tgt_mask: jax.Array,
+                  thresholds: jax.Array,
+                  init_transform: jax.Array | None = None,
+                  src_colors: jax.Array | None = None,
+                  tgt_colors: jax.Array | None = None,
+                  use_colors: bool = False):
+    """Multi-scale ICP as ONE scan: `thresholds` (T,) gives each iteration's
+    max correspondence distance, so a coarse->fine schedule runs the exact
+    same iteration sequence as consecutive `icp` calls while paying one
+    loop's setup instead of two (the registration program's ICP loops are
+    its largest sequential cost — PERF.md). Returns (T, fitness, rmse)
+    evaluated at thresholds[-1]."""
+    T0 = jnp.eye(4, dtype=jnp.float32) if init_transform is None else init_transform
+
+    def step(T, thr):
+        thr2 = thr * thr
+        moved = apply_transform(src_pts, T)
+        nn_idx, nn_d2 = masked_nearest(moved, tgt_pts, tgt_mask)
+        inlier = src_mask & (nn_d2 <= thr2)
+        w = inlier.astype(jnp.float32)
+        if use_colors and src_colors is not None and tgt_colors is not None:
+            cd2 = jnp.sum((src_colors - tgt_colors[nn_idx]) ** 2, axis=-1)
+            w = w * jnp.exp(-cd2 / (2.0 * COLOR_SIGMA ** 2))
+        T_new = kabsch_transform(src_pts, tgt_pts[nn_idx], weights=w)
+        return jnp.where(jnp.sum(inlier) >= 3, T_new, T), None
+
+    T, _ = jax.lax.scan(step, T0, thresholds)
+    rmse, fitness = evaluate_transform_arrays(
+        src_pts, src_mask, tgt_pts, tgt_mask, T, thresholds[-1])
+    return T, fitness, rmse
+
+
 @partial(jax.jit, static_argnames=("max_iterations",))
 def semantic_icp(src_pts: jax.Array, src_labels: jax.Array, src_mask: jax.Array,
                  tgt_pts: jax.Array, tgt_labels: jax.Array, tgt_mask: jax.Array,

@@ -48,7 +48,7 @@ from .transforms import (transform_points, transform_points_kinect,
 from .normals import estimate_normals
 from .fpfh import compute_fpfh
 from .ransac import feature_correspondences, ransac_registration
-from .icp import icp, evaluate_transform_arrays
+from .icp import icp, icp_scheduled, evaluate_transform_arrays
 from .kabsch import kabsch_transform
 from .pointcloud import masked_mean
 
@@ -366,14 +366,24 @@ def _register_one(sp, sc, sm, tp, tc, tm, init_T, has_init, key, *,
     fit_i = jnp.where(has_init, fit_i, -1.0)
     T0 = jnp.where(fit_i > fit_r, init_T, T_ransac)
 
-    T, _, _ = icp(sp, sm, tp, tm, coarse_dist, init_transform=T0,
-                  src_colors=sc, tgt_colors=tc,
-                  max_iterations=icp_coarse_iters, use_colors=True,
-                  early_exit=icp_early_exit)
-    T, fitness, rmse = icp(sp, sm, tp, tm, fine_dist, init_transform=T,
-                           src_colors=sc, tgt_colors=tc,
-                           max_iterations=icp_fine_iters, use_colors=True,
-                           early_exit=icp_early_exit)
+    if icp_early_exit:
+        T, _, _ = icp(sp, sm, tp, tm, coarse_dist, init_transform=T0,
+                      src_colors=sc, tgt_colors=tc,
+                      max_iterations=icp_coarse_iters, use_colors=True,
+                      early_exit=True)
+        T, fitness, rmse = icp(sp, sm, tp, tm, fine_dist, init_transform=T,
+                               src_colors=sc, tgt_colors=tc,
+                               max_iterations=icp_fine_iters,
+                               use_colors=True, early_exit=True)
+    else:
+        # coarse->fine as ONE scan (identical iteration sequence, one
+        # sequential loop instead of two — PERF.md)
+        schedule = jnp.concatenate([
+            jnp.full((icp_coarse_iters,), coarse_dist, jnp.float32),
+            jnp.full((icp_fine_iters,), fine_dist, jnp.float32)])
+        T, fitness, rmse = icp_scheduled(sp, sm, tp, tm, schedule,
+                                         init_transform=T0, src_colors=sc,
+                                         tgt_colors=tc, use_colors=True)
     return T, rmse, fitness
 
 

@@ -120,6 +120,42 @@ def test_icp_refines_small_misalignment(rng):
     assert float(rmse) < 1e-2
 
 
+def test_icp_scheduled_matches_consecutive_calls(rng):
+    """icp_scheduled with a [coarse]*a + [fine]*b threshold schedule must run
+    the exact iteration sequence of two consecutive icp() calls (the merged
+    form _register_one uses — instance_based_loc_tpu/ops/localise_kernels.py)."""
+    from instance_based_loc_tpu.ops.icp import icp_scheduled
+
+    src = sample_box_surface(rng)
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, :3] = Rotation.from_euler("xyz", [0.08, -0.05, 0.03]).as_matrix()
+    T_true[:3, 3] = [0.05, -0.03, 0.02]
+    tgt = src @ T_true[:3, :3].T + T_true[:3, 3]
+
+    sp = PointCloud.from_numpy(src, capacity=1024)
+    tp = PointCloud.from_numpy(tgt, capacity=1024)
+    colors = jnp.asarray(rng.uniform(0, 1, size=(1024, 3)).astype(np.float32))
+
+    coarse, fine, a, b = 0.3, 0.1, 5, 7
+    T1, _, _ = icp(sp.points, sp.mask, tp.points, tp.mask, coarse,
+                   src_colors=colors, tgt_colors=colors,
+                   max_iterations=a, use_colors=True)
+    T1, fit1, rmse1 = icp(sp.points, sp.mask, tp.points, tp.mask, fine,
+                          init_transform=T1, src_colors=colors,
+                          tgt_colors=colors, max_iterations=b,
+                          use_colors=True)
+
+    schedule = jnp.concatenate([jnp.full((a,), coarse, jnp.float32),
+                                jnp.full((b,), fine, jnp.float32)])
+    T2, fit2, rmse2 = icp_scheduled(sp.points, sp.mask, tp.points, tp.mask,
+                                    schedule, src_colors=colors,
+                                    tgt_colors=colors, use_colors=True)
+
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T1), atol=1e-5)
+    np.testing.assert_allclose(float(fit2), float(fit1), atol=1e-6)
+    np.testing.assert_allclose(float(rmse2), float(rmse1), atol=1e-5)
+
+
 def test_evaluate_transform_semantics(rng):
     src = rng.uniform(-1, 1, size=(100, 3)).astype(np.float32)
     sp = PointCloud.from_numpy(src, capacity=128)
