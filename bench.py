@@ -70,6 +70,8 @@ def bench_neural_cascade():
     Random weights — identical FLOPs/shapes to the ported checkpoints.
     Each stage is dispatched back-to-back per frame (the serving order) and
     synced once per frame, matching how the cascade drives the device."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -78,34 +80,45 @@ def bench_neural_cascade():
                                                      GDinoConfig,
                                                      make_text_masks)
     from instance_based_loc_tpu.models.sam import Sam, SamConfig
+    from instance_based_loc_tpu.models.precision import (resolve_compute_dtype,
+                                                         cast_params)
 
+    # deployment precision: bf16 MXU inference with f32-mastered weights
+    # (models/precision.py; IBL_MODEL_DTYPE=float32 to measure f32)
+    cdt = resolve_compute_dtype()
+    cdt_name = np.dtype(cdt).name
     rng = jax.random.PRNGKey(0)
 
     ram_cfg = RamConfig()
+    ram_cfg = dataclasses.replace(
+        ram_cfg, backbone=dataclasses.replace(ram_cfg.backbone, dtype=cdt))
     ram = Ram(ram_cfg)
     ram_in = jnp.zeros((1, ram_cfg.backbone.img_size,
-                        ram_cfg.backbone.img_size, 3), jnp.float32)
-    ram_params = ram.init(rng, ram_in)
-    ram_apply = jax.jit(lambda p, x: jax.nn.sigmoid(ram.apply(p, x)))
+                        ram_cfg.backbone.img_size, 3), cdt)
+    ram_params = cast_params(ram.init(rng, ram_in), cdt)
+    ram_apply = jax.jit(lambda p, x: jax.nn.sigmoid(
+        ram.apply(p, x).astype(jnp.float32)))
 
     gd_cfg = GDinoConfig(img_size=800)
+    gd_cfg = dataclasses.replace(
+        gd_cfg, backbone=dataclasses.replace(gd_cfg.backbone, dtype=cdt))
     gdino = GroundingDino(gd_cfg)
     ids = np.zeros((1, 16), np.int32)
     ids[0, :6] = [101, 4937, 1012, 3899, 1012, 102]
     allowed, position_ids = make_text_masks(ids)
-    gd_args = (jnp.zeros((1, 800, 800, 3), jnp.float32), jnp.asarray(ids),
+    gd_args = (jnp.zeros((1, 800, 800, 3), cdt), jnp.asarray(ids),
                jnp.asarray(allowed), jnp.asarray(position_ids),
                jnp.asarray(ids != 0))
-    gd_params = gdino.init(rng, *gd_args)
+    gd_params = cast_params(gdino.init(rng, *gd_args), cdt)
     gd_apply = jax.jit(gdino.apply)
 
     sam_cfg = SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
                         global_blocks=(2, 5, 8, 11))
     sam = Sam(sam_cfg)
     n_boxes = 8
-    sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), jnp.float32)
+    sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), cdt)
     sam_boxes = jnp.zeros((n_boxes, 4), jnp.float32)
-    sam_params = sam.init(rng, sam_img, sam_boxes)
+    sam_params = cast_params(sam.init(rng, sam_img, sam_boxes), cdt)
     sam_apply = jax.jit(sam.apply)
 
     def frame(i):
@@ -128,7 +141,8 @@ def bench_neural_cascade():
     print(json.dumps({
         "metric": "cascade_frames_per_sec",
         "value": round(fps, 3),
-        "unit": "frames/sec (RAM@384 + GDINO@800 + SAM-B@1024, 8 boxes)",
+        "unit": f"frames/sec (RAM@384 + GDINO@800 + SAM-B@1024, 8 boxes, "
+                f"{cdt_name})",
         "vs_baseline": None,
     }))
     return fps

@@ -433,16 +433,20 @@ class GroundingDino(nn.Module):
             pos_list.append(sine_pos_2d(h, w, c.d_model, c.pos_temperature)
                             + level_embed[lvl][None, :])
         memory = jnp.concatenate(flat, axis=1)
-        vision_pos = jnp.concatenate(pos_list, axis=0)
+        # positional tables and attention biases follow the activation dtype
+        # so bf16 inference (models/precision.py) doesn't silently promote
+        # the encoder/decoder back to f32 (no-op casts in f32 mode)
+        adt = memory.dtype
+        vision_pos = jnp.concatenate(pos_list, axis=0).astype(adt)
         shapes = tuple(shapes)
         vision_ref = self._encoder_reference_points(shapes)[None]
 
-        neg = jnp.finfo(jnp.float32).min
-        text_attn_bias = jnp.where(text_allowed[:, None], 0.0, neg)
+        neg = jnp.finfo(adt).min
+        text_attn_bias = jnp.where(text_allowed[:, None], 0.0, neg).astype(adt)
         text_pad_mask = ~text_token_mask
         text_pos = get_sine_pos_embed(
             position_ids[..., None].astype(jnp.float32), c.d_model,
-            exchange_xy=False)
+            exchange_xy=False).astype(adt)
 
         for i in range(c.encoder_layers):
             memory, text = EncoderLayer(c, shapes, name=f"encoder_layer{i}")(
@@ -474,7 +478,7 @@ class GroundingDino(nn.Module):
         hidden = jnp.broadcast_to(query_embed[None], (b,) + query_embed.shape)
 
         text_cross_bias = jnp.where(text_token_mask[:, None, None, :],
-                                    0.0, neg)
+                                    0.0, neg).astype(adt)
 
         # --- decoder with iterative box refinement ---
         intermediate, inter_refs = [], []
@@ -485,7 +489,7 @@ class GroundingDino(nn.Module):
                 + (len(shapes), 4))
             query_sine = get_sine_pos_embed(reference, c.d_model // 2,
                                             exchange_xy=True)
-            query_pos = ref_point_head(query_sine)
+            query_pos = ref_point_head(query_sine.astype(adt))
             hidden = DecoderLayer(c, shapes, name=f"decoder_layer{i}")(
                 hidden, query_pos, ref_input, memory, text, text_cross_bias)
             reference = jax.nn.sigmoid(bbox_head(hidden) + _logit(reference))
@@ -640,7 +644,8 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
                          vocab_path: str | None = None,
                          box_threshold: float = 0.35,
                          text_threshold: float = 0.25,
-                         cfg: GDinoConfig | None = None):
+                         cfg: GDinoConfig | None = None,
+                         compute_dtype=None):
     """grounder(rgb, keyword) -> (boxes_cxcywh_norm, scores) for the cascade
     (reference gd_predict semantics: score = max sigmoid logit over the
     phrase's text tokens, keep boxes above box_threshold).
@@ -652,6 +657,13 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     cfg = cfg or GDinoConfig(img_size=800)
     if checkpoint_path is None:
         return lambda rgb, keyword: (None, None)
+
+    from .precision import resolve_compute_dtype, cast_params
+    dt = resolve_compute_dtype(compute_dtype)
+    # the Swin backbone threads dtype via its config; the fusion encoder /
+    # decoder follow operand promotion from the cast params
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, dtype=dt))
 
     from .wordpiece import WordPieceTokenizer
     tokenizer = WordPieceTokenizer(vocab_path)
@@ -668,10 +680,15 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
         with open(checkpoint_path, "rb") as f:
             params = pickle.load(f)
 
+    # bf16 inference by default (models/precision.py); box-score
+    # thresholding reads f32-upcast sigmoids
+    params = cast_params(params, dt)
+
     @jax.jit
     def apply(images, input_ids, allowed, position_ids, token_mask):
-        return model.apply(params, images, input_ids, allowed, position_ids,
-                           token_mask)
+        logits, boxes = model.apply(params, images.astype(dt), input_ids,
+                                    allowed, position_ids, token_mask)
+        return logits.astype(jnp.float32), boxes.astype(jnp.float32)
 
     def _run(img_batch, ids):
         allowed, position_ids = make_text_masks(ids)

@@ -202,7 +202,8 @@ def build_ram_tagger(checkpoint_path: str | None = None,
                      tag_list_path: str | None = None,
                      threshold: float = 0.68,
                      image_size: int = 384,
-                     cfg: RamConfig | None = None):
+                     cfg: RamConfig | None = None,
+                     compute_dtype=None):
     """tagger(rgb) -> list[str] for CascadeDetector (reference
     object_finder.py:272-277 contract)."""
     if tag_list_path is not None:
@@ -214,17 +215,28 @@ def build_ram_tagger(checkpoint_path: str | None = None,
     if checkpoint_path is None:
         return lambda rgb: []   # cascade falls back to an explicit caption
 
+    # bf16 inference by default (models/precision.py); per-tag sigmoid
+    # thresholding happens after an f32 upcast of the logits. The Swin
+    # backbone threads its own dtype config, the Q2L decoder follows
+    # operand promotion from the cast params.
+    from .precision import resolve_compute_dtype, cast_params
+    dt = resolve_compute_dtype(compute_dtype)
+
     cfg = cfg or dataclasses.replace(
         RamConfig(), num_tags=len(vocab),
         backbone=dataclasses.replace(RAM_SWIN_L, img_size=image_size))
+    cfg = dataclasses.replace(
+        cfg, backbone=dataclasses.replace(cfg.backbone, dtype=dt))
     model = Ram(cfg)
     params, class_thresholds = port_ram_params(checkpoint_path, cfg)
     if class_thresholds is None:
         class_thresholds = np.full((cfg.num_tags,), threshold, np.float32)
+    params = cast_params(params, dt)
 
     @jax.jit
     def apply(img):
-        return jax.nn.sigmoid(model.apply(params, img))
+        return jax.nn.sigmoid(
+            model.apply(params, img.astype(dt)).astype(jnp.float32))
 
     def tagger(rgb: np.ndarray) -> list[str]:
         from PIL import Image

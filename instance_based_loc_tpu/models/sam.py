@@ -352,10 +352,18 @@ SAM_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
 def build_sam_segmenter(checkpoint_path: str | None = None,
-                        cfg: SamConfig | None = None, max_boxes: int = 16):
+                        cfg: SamConfig | None = None, max_boxes: int = 16,
+                        compute_dtype=None):
     """segmenter(rgb, boxes_xyxy) -> (M, H, W) bool, the cascade's stage-3
     callable. Handles the reference predictor's resize-longest-side-1024
-    transform + mask un-resizing (object_finder.py:243-249)."""
+    transform + mask un-resizing (object_finder.py:243-249).
+
+    Runs bf16 inference by default (models/precision.py): the ViT-B image
+    encoder — ~95% of SAM's FLOPs — executes as bf16 MXU matmuls; box-prompt
+    coordinates stay f32 (bf16 rounds 1024-scale pixels to ~4 px) and mask
+    logits are compared against 0 after an f32 upcast."""
+    from .precision import resolve_compute_dtype, cast_params
+    dt = resolve_compute_dtype(compute_dtype)
     # ViT-B sizing by default when running weights-free (H is 32 blocks deep)
     cfg = cfg or SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
                            global_blocks=(2, 5, 8, 11))
@@ -366,10 +374,12 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
     params = model.init(rng, dummy_img, dummy_boxes)
     if checkpoint_path:
         params = port_sam_params(checkpoint_path, cfg, params)
+    params = cast_params(params, dt)
 
     @jax.jit
     def apply(img, boxes):
-        return model.apply(params, img, boxes)
+        logits, iou = model.apply(params, img.astype(dt), boxes)
+        return logits.astype(jnp.float32), iou.astype(jnp.float32)
 
     def segmenter(rgb, boxes_xyxy):
         from PIL import Image
