@@ -20,9 +20,14 @@ def main():
     p.add_argument("--quick", action="store_true", help="small scene, fast run")
     p.add_argument("--num-objects", type=int, default=6)
     p.add_argument("--n-views", type=int, default=8)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="hold out every k-th view as an eval pose (the "
+                        "reference's committed run evaluates 86 poses — "
+                        "new_codebase_results.log); 0 = last view only")
     p.add_argument("--out-dir", type=str, default="./out")
     p.add_argument("--data-path", type=str, default=None,
                    help="write/reuse the generated dataset here")
+    p.add_argument("--testname", type=str, default="synth_trial")
     args = p.parse_args()
 
     height, width, focal = (160, 220, 200.0) if args.quick else (240, 320, 300.0)
@@ -35,20 +40,25 @@ def main():
                         height=height, width=width, focal_length=focal)
     print(f"Synthetic dataset at {data_dir}")
 
+    if args.eval_every > 0:
+        eval_indices = [str(i) for i in
+                        range(1, n_views, args.eval_every)]
+    else:
+        eval_indices = [str(n_views - 1)]
     trial_args = localisation_trial.make_parser().parse_args([
         "--convention", "synth",
         "--data-path", data_dir,
         "--embeddings", "color",
         "--detector", "color",
         "--focal-length", str(focal),
-        "-e", str(n_views - 1),
+        "-e", *eval_indices,
         "--consider-floor",
         "--min-points", "200",
         "--downsample-voxel-size", "0.02",
         "--dbscan-eps", "0.1",
         "--dbscan-min-points", "40",
         "--no-outlier-removal",
-        "--testname", "synth_trial",
+        "--testname", args.testname,
         "--out-dir", args.out_dir,
     ])
     trial_args = localisation_trial.apply_convention_defaults(trial_args)
