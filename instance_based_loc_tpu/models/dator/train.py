@@ -25,7 +25,7 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .fourdnet import FourDNet, FourDNetConfig
-from .losses import reid_loss
+from .losses import center_loss, margin_logits, reid_loss
 
 
 @dataclasses.dataclass
@@ -41,6 +41,17 @@ class TrainConfig:
     id_loss_weight: float = 1.0
     triplet_weight: float = 1.0
     label_smoothing: float = 0.0
+    # margin-classifier ID loss (defaults.py MODEL.ID_LOSS_TYPE 'softmax';
+    # options arcface|cosface|amsoftmax|circle reuse the classifier kernel
+    # as the cosine prototype matrix)
+    id_loss_type: str = "softmax"
+    margin_scale: float = 30.0      # defaults.py SOLVER.COSINE_SCALE
+    margin: float = 0.5             # defaults.py SOLVER.COSINE_MARGIN
+    # center loss (defaults.py SOLVER.CENTER_LOSS_WEIGHT 0.0005 when
+    # MODEL.IF_WITH_CENTER 'yes'; 0 disables). Centers live as an extra
+    # trainable leaf under params and follow the main schedule (the
+    # reference gives them their own SGD at CENTER_LR).
+    center_loss_weight: float = 0.0
     lora_only: bool = True          # freeze towers except LoRA (make_model.py:466-477)
 
 
@@ -124,6 +135,15 @@ def create_train_state(model_cfg: FourDNetConfig, train_cfg: TrainConfig,
     dummy_depth = jnp.zeros((2, height, width, 3), jnp.float32)
     params = model.init({"params": rng, "dropout": rng},
                         dummy_rgb, dummy_depth, training=False)
+    if train_cfg.center_loss_weight > 0:
+        import flax
+        feat_dim = params["params"]["classifier"]["kernel"].shape[0]
+        p = flax.core.unfreeze(params)
+        p["params"]["center_centers"] = jax.random.normal(
+            jax.random.fold_in(rng, 7),
+            (model_cfg.num_classes, feat_dim), jnp.float32)
+        params = (flax.core.freeze(p)
+                  if isinstance(params, flax.core.FrozenDict) else p)
     if pretrained_path:
         import torch
         sd = torch.load(pretrained_path, map_location="cpu",
@@ -143,11 +163,25 @@ def train_step(state: TrainState, rgb, depth, labels, rng,
     def loss_fn(params):
         cls_score, feat = state.apply_fn(
             params, rgb, depth, training=True, rngs={"dropout": rng})
+        id_score = cls_score
+        if train_cfg.id_loss_type != "softmax":
+            # margin head: the classifier kernel doubles as the cosine
+            # prototype matrix ((feat, C) -> (C, feat)); bias is unused,
+            # matching the bias-free Parameters in metric_learning.py
+            w = params["params"]["classifier"]["kernel"].T
+            id_score = margin_logits(
+                train_cfg.id_loss_type, feat, w, labels,
+                s=train_cfg.margin_scale, m=train_cfg.margin)
         total, aux = reid_loss(
-            cls_score, feat, labels,
+            id_score, feat, labels,
             id_weight=train_cfg.id_loss_weight,
             triplet_weight=train_cfg.triplet_weight,
             label_smoothing=train_cfg.label_smoothing)
+        if train_cfg.center_loss_weight > 0:
+            c_loss = center_loss(feat, labels,
+                                 params["params"]["center_centers"])
+            total = total + train_cfg.center_loss_weight * c_loss
+            aux["center_loss"] = c_loss
         acc = jnp.mean((jnp.argmax(cls_score, -1) == labels).astype(jnp.float32))
         aux["acc"] = acc
         return total, aux
