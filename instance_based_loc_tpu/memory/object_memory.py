@@ -559,7 +559,8 @@ class ObjectMemory:
         return self.localise_finish(self.localise_dispatch(
             image_path, depth_image_path, **kwargs))
 
-    def localise_many(self, frames, overlap: bool = True, **kwargs):
+    def localise_many(self, frames, overlap: bool = True, batch: int = 1,
+                      batch_mode: str = "vmap", **kwargs):
         """Pipelined batch localisation: dispatch every frame's fused device
         program before fetching any result (the throughput mode;
         single-frame `localise` is the latency mode). `frames` is a list of
@@ -573,7 +574,21 @@ class ObjectMemory:
         host + compute, PERF.md); the blocking fetch on the side thread
         forces execution while the GIL is released, hiding the ~13 ms/frame
         of host detect/embed/pack under device compute. Results and
-        per-frame semantics are identical either way."""
+        per-frame semantics are identical either way.
+
+        batch=G (with overlap) serves frames in chunks of G through ONE
+        vmapped device program per chunk (localise_frames_batched), so the
+        per-program launch/fetch overhead — ~25 ms over the axon tunnel,
+        the largest per-frame cost after the compute itself — is paid once
+        per G frames instead of once per frame, while the consumer thread
+        still hides host prep under device execution. Partial/heterogeneous
+        chunks are padded to G by repeating their last frame (padding rows
+        are computed and dropped), keeping one compiled program per shape
+        bucket. vmap lowering reproduces the single-query program
+        bit-for-bit, so results are identical to batch=1."""
+        if batch > 1:
+            return self._localise_many_chunked(frames, batch, batch_mode,
+                                               overlap, **kwargs)
         if not overlap:
             handles = [self.localise_dispatch(rgb, depth, **kwargs)
                        for rgb, depth in frames]
@@ -608,6 +623,95 @@ class ObjectMemory:
             raise errors[0]
         return results
 
+    def _localise_many_chunked(self, frames, batch, batch_mode, overlap,
+                               **kwargs):
+        import queue
+        import threading
+
+        results: list = [None] * len(frames)
+        errors: list = []
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def consumer():
+            while True:
+                h = q.get()
+                if h is None:
+                    return
+                try:
+                    self._finish_batch(h, results)
+                except BaseException as e:
+                    errors.append(e)
+
+        t = threading.Thread(target=consumer, daemon=True)
+        if overlap:
+            t.start()
+        pending: list = []
+        try:
+            for start in range(0, len(frames), batch):
+                chunk = frames[start:start + batch]
+                hosts = {start + j: self._localise_host(rgb, depth, **kwargs)
+                         for j, (rgb, depth) in enumerate(chunk)}
+                groups: dict = {}
+                for i, hh in hosts.items():
+                    if "result" in hh:
+                        results[i] = hh["result"]
+                        continue
+                    gkey = (hh["qbuf"].shape, hh["dims"], hh["keep_debug"],
+                            tuple(sorted(hh["statics"].items())))
+                    groups.setdefault(gkey, []).append(i)
+                for idxs in groups.values():
+                    h = self._dispatch_batch(hosts, idxs, batch_mode,
+                                             pad_to=batch)
+                    if overlap:
+                        q.put(h)
+                    else:
+                        pending.append(h)
+        finally:
+            if overlap:
+                q.put(None)
+                t.join()
+        for h in pending:
+            self._finish_batch(h, results)
+        if errors:
+            raise errors[0]
+        return results
+
+    def _dispatch_batch(self, hosts, idxs, batch_mode, pad_to=None):
+        """Stack the host handles at `idxs` (a dict or list of handles) into
+        one batched device dispatch; returns a handle for _finish_batch.
+        pad_to=N repeats the last frame so every chunk compiles at one
+        batch shape (extra rows are dropped at decode)."""
+        batched_fn = (localise_frames_scanned if batch_mode == "scan"
+                      else localise_frames_batched)
+        take = list(idxs)
+        if pad_to is not None and len(take) < pad_to:
+            take += [take[-1]] * (pad_to - len(take))
+        h0 = hosts[idxs[0]]
+        bufs = jnp.asarray(np.stack([hosts[i]["qbuf"] for i in take]))
+        byte_bufs = jnp.asarray(
+            np.stack([hosts[i]["qbytes"] for i in take]))
+        keys = jnp.stack([jax.random.PRNGKey(hosts[i]["frame_id"])
+                          for i in take])
+        hh, ww, d_pad, e_dim = h0["dims"]
+        with self.timer.stage("loc.device"):
+            packed = batched_fn(
+                bufs, byte_bufs, *h0["mem_args"], *h0["scalars"], keys,
+                h=hh, w=ww, d_pad=d_pad, e_dim=e_dim,
+                keep_debug=h0["keep_debug"], **h0["statics"])
+        return {"packed": packed, "idxs": list(idxs),
+                "hosts": {i: hosts[i] for i in idxs}}
+
+    def _finish_batch(self, handle, results):
+        """ONE fetch for the whole batched program, then per-row decode into
+        `results` at each frame's original index (padding rows trail the
+        real ones and are ignored)."""
+        with self.timer.stage("loc.fetch"):
+            flat = np.asarray(handle["packed"])
+        for row, i in zip(flat, handle["idxs"]):
+            out = _decode_packed(row, handle["hosts"][i]["specs"],
+                                 handle["hosts"][i]["treedef"])
+            results[i] = self._finish_out(out, handle["hosts"][i])
+
     def localise_batched(self, frames, batch_mode: str = "vmap", **kwargs):
         """Batch localisation: all queries with matching shape/config
         buckets run as ONE device program with one upload and one fetch —
@@ -624,8 +728,6 @@ class ObjectMemory:
         if batch_mode not in ("vmap", "scan"):
             raise ValueError(f"batch_mode must be 'vmap' or 'scan', "
                              f"got {batch_mode!r}")
-        batched_fn = (localise_frames_scanned if batch_mode == "scan"
-                      else localise_frames_batched)
         hosts = [self._localise_host(rgb, depth, **kwargs)
                  for rgb, depth in frames]
         results: list = [None] * len(hosts)
@@ -638,24 +740,8 @@ class ObjectMemory:
                    tuple(sorted(hh["statics"].items())))
             groups.setdefault(key, []).append(i)
         for idxs in groups.values():
-            h0 = hosts[idxs[0]]
-            bufs = jnp.asarray(np.stack([hosts[i]["qbuf"] for i in idxs]))
-            byte_bufs = jnp.asarray(
-                np.stack([hosts[i]["qbytes"] for i in idxs]))
-            keys = jnp.stack([jax.random.PRNGKey(hosts[i]["frame_id"])
-                              for i in idxs])
-            hh, ww, d_pad, e_dim = h0["dims"]
-            with self.timer.stage("loc.device"):
-                packed = batched_fn(
-                    bufs, byte_bufs, *h0["mem_args"], *h0["scalars"], keys,
-                    h=hh, w=ww, d_pad=d_pad, e_dim=e_dim,
-                    keep_debug=h0["keep_debug"], **h0["statics"])
-            with self.timer.stage("loc.fetch"):
-                flat = np.asarray(packed)        # ONE fetch for the group
-            for row, i in zip(flat, idxs):
-                out = _decode_packed(row, hosts[i]["specs"],
-                                     hosts[i]["treedef"])
-                results[i] = self._finish_out(out, hosts[i])
+            self._finish_batch(
+                self._dispatch_batch(hosts, idxs, batch_mode), results)
         return results
 
     def localise_dispatch(self, image_path, depth_image_path, **kwargs):

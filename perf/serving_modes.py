@@ -59,6 +59,12 @@ def measure(memory, frames, poses, tag):
             stream, batch_mode="vmap", outlier_removal_config=None)),
         ("scan", lambda: memory.localise_batched(
             stream, batch_mode="scan", outlier_removal_config=None)),
+        # chunked-batched + overlap: per-program tunnel overhead amortized
+        # over the chunk while host prep overlaps the previous chunk's fetch
+        ("chunk4+overlap", lambda: memory.localise_many(
+            stream, batch=4, outlier_removal_config=None)),
+        ("chunk6+overlap", lambda: memory.localise_many(
+            stream, batch=6, outlier_removal_config=None)),
     ]
     for name, run in runs:
         best, res = np.inf, None

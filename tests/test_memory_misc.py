@@ -123,3 +123,13 @@ def test_localise_batched_matches_single():
                                       outlier_removal_config=None)
     for p, (assn, _) in scanned:
         assert np.all(np.isfinite(p)) and len(assn) >= 1
+    # chunked-batched serving (one vmapped program per chunk, padded to the
+    # chunk size) is also bit-identical to single queries — including when
+    # the padding path triggers (batch=3 over 2 frames)
+    for batch in (2, 3):
+        memory._frame_counter = memory._frame_counter - len(eval_frames)
+        chunked = memory.localise_many(eval_frames, batch=batch,
+                                       outlier_removal_config=None)
+        for (p1, a1), (p2, a2) in zip(singles, chunked):
+            np.testing.assert_allclose(p1, p2, atol=0)
+            assert a1[0] == a2[0]
