@@ -179,20 +179,24 @@ def bench_e2e():
 
     memory.timer.totals.clear()
     memory.timer.counts.clear()
-    # throughput mode: every query's fused device program is dispatched
-    # before any result is fetched (host work overlaps device compute).
-    # localise_batched (one vmapped program per bucket) measured equal here
-    # — the program is latency-bound by its sequential registration stages,
-    # not by launch overhead — so the lower-latency pipelined path serves.
+    # throughput mode: chunked-batched + overlapped serving — frames run in
+    # chunks of 6 through ONE vmapped device program per chunk (amortizing
+    # the per-program launch/fetch overhead, ~25 ms over the axon tunnel)
+    # while a consumer thread hides host prep under device execution.
+    # Measured on the tunneled chip (perf/serving_modes.py): chunk6 36.9,
+    # chunk4 47.4, single-frame pipelined 56.7, vmap-all-12 56.5 ms/frame.
+    # Results are bit-identical to single-frame serving (parity test in
+    # tests/test_memory_misc.py).
     stream = [(rgb, depth) for rgb, depth, _ in eval_frames] * 4
     n_runs = len(stream)
     # the tunneled chip shows +-30% run-to-run variance (shared service);
-    # two measurement passes, best taken, damp transient noise
+    # three measurement passes, best taken, damp transient noise (the first
+    # pass also pays the one-off chunk-program compile)
     fps = 0.0
     elapsed = 0.0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
-        memory.localise_many(stream, outlier_removal_config=None)
+        memory.localise_many(stream, batch=6, outlier_removal_config=None)
         dt = time.perf_counter() - t0
         if fps < n_runs / dt:
             fps = n_runs / dt
