@@ -48,6 +48,11 @@ class SamConfig:
     iou_head_hidden: int = 256
     num_mask_tokens: int = 4
     dtype: jnp.dtype = jnp.float32
+    # Fused Pallas attention for the GLOBAL encoder blocks (4096 tokens):
+    # avoids materializing the (heads, S, S) scores AND the broadcast
+    # rel-pos bias (~800 MB f32 per block) in HBM. Windowed blocks (196
+    # tokens per window) stay on XLA, where fusion is already resident.
+    use_pallas_attention: bool = False
 
     @property
     def grid(self) -> int:
@@ -98,7 +103,6 @@ class SamAttention(nn.Module):
         d_head = dim // heads
         qkv = nn.Dense(dim * 3, name="qkv")(x).reshape(b, h * w, 3, heads, d_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d_head ** -0.5), k)
 
         # decomposed relative positions (SAM add_decomposed_rel_pos)
         rel_h = self.param("rel_pos_h", nn.initializers.zeros,
@@ -110,6 +114,21 @@ class SamAttention(nn.Module):
         q_sp = q.reshape(b, h, w, heads, d_head)
         bias_h = jnp.einsum("bhwnd,hkd->bnhwk", q_sp, rh)  # (b, heads, h, w, h_k)
         bias_w = jnp.einsum("bhwnd,wkd->bnhwk", q_sp, rw)  # (b, heads, h, w, w_k)
+
+        s = h * w
+        if (c.use_pallas_attention and s % 128 == 0
+                and jax.default_backend() == "tpu"):
+            # fused kernel: scores + rel-pos bias + softmax + PV with
+            # VMEM-resident KV; the (S, S) intermediates never hit HBM
+            from ..ops.pallas.sam_attention import sam_flash_attention
+            out = sam_flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias_h.reshape(b, heads, s, h), bias_w.reshape(b, heads, s, w))
+            out = out.transpose(0, 2, 1, 3).reshape(b, h, w, dim)
+            return nn.Dense(dim, name="proj")(out)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * (d_head ** -0.5), k)
         bias = bias_h[..., :, None] + bias_w[..., None, :]  # (b,n,h,w,hk,wk)
         attn = attn + bias.reshape(b, heads, h * w, h * w)
 

@@ -1,0 +1,90 @@
+"""Per-stage timing for the neural perception cascade (bench.py
+bench_neural_cascade's workload, split): RAM Swin-L@384, GroundingDINO@800,
+SAM-B@1024 (8 box prompts), each timed alone with per-call sync, plus SAM
+with the Pallas global-attention kernel (ops/pallas/sam_attention.py).
+
+Run on the tunneled chip: python perf/cascade_stages.py
+(one TPU job at a time; remote compiles take minutes — be patient.)
+"""
+
+import os
+import sys
+import time
+import dataclasses
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from instance_based_loc_tpu.models.ram import Ram, RamConfig
+from instance_based_loc_tpu.models.gdino import (GroundingDino, GDinoConfig,
+                                                 make_text_masks)
+from instance_based_loc_tpu.models.sam import Sam, SamConfig
+from instance_based_loc_tpu.models.precision import (resolve_compute_dtype,
+                                                     cast_params)
+
+
+def bench(name, fn, n=6):
+    out = fn(0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(1, n + 1):
+        out = fn(i)
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n * 1000
+    print(f"{name:18s} {dt:8.1f} ms/frame", flush=True)
+    return dt
+
+
+def main():
+    cdt = resolve_compute_dtype()
+    print(f"compute dtype: {np.dtype(cdt).name}", flush=True)
+    rng = jax.random.PRNGKey(0)
+
+    ram_cfg = RamConfig()
+    ram_cfg = dataclasses.replace(
+        ram_cfg, backbone=dataclasses.replace(ram_cfg.backbone, dtype=cdt))
+    ram = Ram(ram_cfg)
+    ram_in = jnp.zeros((1, ram_cfg.backbone.img_size,
+                        ram_cfg.backbone.img_size, 3), cdt)
+    ram_params = cast_params(ram.init(rng, ram_in), cdt)
+    ram_apply = jax.jit(lambda p, x: jax.nn.sigmoid(
+        ram.apply(p, x).astype(jnp.float32)))
+    bench("ram@384", lambda i: ram_apply(ram_params, ram_in + i))
+    del ram_params
+
+    gd_cfg = GDinoConfig(img_size=800)
+    gd_cfg = dataclasses.replace(
+        gd_cfg, backbone=dataclasses.replace(gd_cfg.backbone, dtype=cdt))
+    gdino = GroundingDino(gd_cfg)
+    ids = np.zeros((1, 16), np.int32)
+    ids[0, :6] = [101, 4937, 1012, 3899, 1012, 102]
+    allowed, position_ids = make_text_masks(ids)
+    gd_args = (jnp.zeros((1, 800, 800, 3), cdt), jnp.asarray(ids),
+               jnp.asarray(allowed), jnp.asarray(position_ids),
+               jnp.asarray(ids != 0))
+    gd_params = cast_params(gdino.init(rng, *gd_args), cdt)
+    gd_apply = jax.jit(gdino.apply)
+    bench("gdino@800", lambda i: gd_apply(gd_params, gd_args[0] + i,
+                                          *gd_args[1:]))
+    del gd_params
+
+    n_boxes = 8
+    for pallas in (False, True):
+        sam_cfg = SamConfig(encoder_dim=768, encoder_depth=12,
+                            encoder_heads=12, global_blocks=(2, 5, 8, 11),
+                            use_pallas_attention=pallas)
+        sam = Sam(sam_cfg)
+        sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), cdt)
+        sam_boxes = jnp.zeros((n_boxes, 4), jnp.float32)
+        sam_params = cast_params(sam.init(rng, sam_img, sam_boxes), cdt)
+        sam_apply = jax.jit(sam.apply)
+        tag = "sam-b@1024" + ("+pallas" if pallas else "")
+        bench(tag, lambda i: sam_apply(sam_params, sam_img + i, sam_boxes))
+        del sam_params
+
+
+if __name__ == "__main__":
+    main()
