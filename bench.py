@@ -37,7 +37,13 @@ def bench_neural_path():
     model = ViT(cfg)
     rng = jax.random.PRNGKey(0)
     crops_per_frame = 8
-    x = jnp.zeros((crops_per_frame, 224, 224, 3), jnp.float32)
+    # streaming inference batches 4 frames (32 crops) per device program —
+    # the same per-program-overhead amortization as the e2e chunked serving
+    # mode (a single 8-crop program is dominated by the ~25-50 ms tunnel
+    # service time, not compute)
+    frames_per_call = 4
+    x = jnp.zeros((frames_per_call * crops_per_frame, 224, 224, 3),
+                  jnp.float32)
     params = model.init(rng, x)
 
     @jax.jit
@@ -47,16 +53,18 @@ def bench_neural_path():
     np.asarray(embed(params, x)[0])  # compile
     # pipeline the dispatches (streaming inference) and sync once at the
     # end — per-frame host syncs only measure the tunnel round-trip
-    n = 32
+    n_calls = 8
+    n = n_calls * frames_per_call
     t0 = time.perf_counter()
-    outs = [embed(params, x + i) for i in range(n)]
+    outs = [embed(params, x + i) for i in range(n_calls)]
     np.asarray(outs[-1][0].ravel()[0])   # device executes in order
     dt = (time.perf_counter() - t0) / n
     fps = 1.0 / dt
     print(json.dumps({
         "metric": "vit_embed_frames_per_sec",
         "value": round(fps, 3),
-        "unit": f"frames/sec ({crops_per_frame} crops @224)",
+        "unit": f"frames/sec ({crops_per_frame} crops @224, "
+                f"{frames_per_call} frames/program)",
         "vs_baseline": None,
     }))
     return fps

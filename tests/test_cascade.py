@@ -146,6 +146,24 @@ def test_sam_shapes_and_prompt_sensitivity(rng):
     np.testing.assert_allclose(np.asarray(masks), np.asarray(masks2))
 
 
+def test_sam_pallas_flag_inert_off_tpu(rng):
+    """use_pallas_attention=True must be a no-op on CPU (backend gate):
+    same params tree, same outputs as the XLA path."""
+    from instance_based_loc_tpu.models.sam import Sam, SamConfig
+
+    kw = dict(img_size=64, patch_size=16, encoder_dim=32, encoder_depth=2,
+              encoder_heads=4, window_size=2, global_blocks=(1,),
+              prompt_dim=32, decoder_heads=4)
+    img = jnp.asarray(rng.normal(size=(64, 64, 3)), jnp.float32)
+    boxes = jnp.asarray([[4.0, 4.0, 30.0, 30.0]])
+    m0 = Sam(SamConfig(**kw))
+    m1 = Sam(SamConfig(use_pallas_attention=True, **kw))
+    params = m0.init(jax.random.PRNGKey(0), img, boxes)
+    masks0, _ = m0.apply(params, img, boxes)
+    masks1, _ = m1.apply(params, img, boxes)
+    np.testing.assert_allclose(np.asarray(masks0), np.asarray(masks1))
+
+
 def test_sam_window_partition_roundtrip(rng):
     from instance_based_loc_tpu.models.sam import (_window_partition,
                                                    _window_unpartition)
