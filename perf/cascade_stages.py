@@ -26,13 +26,19 @@ from instance_based_loc_tpu.models.precision import (resolve_compute_dtype,
                                                      cast_params)
 
 
+def _sync(out):
+    # block_until_ready can return without forcing execution over the axon
+    # tunnel (verify SKILL.md); a real element fetch is the only true sync
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def bench(name, fn, n=6):
-    out = fn(0)
-    jax.block_until_ready(out)
+    _sync(fn(0))
     t0 = time.perf_counter()
     for i in range(1, n + 1):
         out = fn(i)
-        jax.block_until_ready(out)
+        _sync(out)
     dt = (time.perf_counter() - t0) / n * 1000
     print(f"{name:18s} {dt:8.1f} ms/frame", flush=True)
     return dt
