@@ -191,8 +191,9 @@ def bench_e2e():
     # chunks of 6 through ONE vmapped device program per chunk (amortizing
     # the per-program launch/fetch overhead, ~25 ms over the axon tunnel)
     # while a consumer thread hides host prep under device execution.
-    # Measured on the tunneled chip (perf/serving_modes.py): chunk6 36.9,
-    # chunk4 47.4, single-frame pipelined 56.7, vmap-all-12 56.5 ms/frame.
+    # Measured on the tunneled chip (perf/serving_modes.py, with the u16
+    # depth upload + fused NN min): chunk6 31.7, chunk4 31.5, single-frame
+    # pipelined 36.8, vmap-all-12 51.2 ms/frame.
     # Results are bit-identical to single-frame serving (parity test in
     # tests/test_memory_misc.py).
     stream = [(rgb, depth) for rgb, depth, _ in eval_frames] * 4

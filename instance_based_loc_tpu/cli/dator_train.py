@@ -110,7 +110,8 @@ def main(argv=None):
             losses = []
             for bi, batch_idxs in enumerate(batches):
                 rgb, depth, pids = sampler.load_batch(
-                    batch_idxs, cfg.data.height, cfg.data.width)
+                    batch_idxs, cfg.data.height, cfg.data.width,
+                    quantize=cfg.data.quantize_upload)
                 rgb_s, depth_s, pids_s = shard_batch(
                     mesh, (jnp.asarray(rgb), jnp.asarray(depth),
                            jnp.asarray(pids)))

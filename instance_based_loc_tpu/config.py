@@ -28,6 +28,11 @@ class DataConfig:
     batch_size: int = 64           # config.yml SOLVER.IMS_PER_BATCH
     num_instances: int = 4         # DATALOADER.NUM_INSTANCE (P x K)
     seed: int = 0
+    # ship u8 rgb + single-channel u16 depth and dequantize on device —
+    # ~4.8x smaller host->device upload (the binding constraint for
+    # tunneled on-chip training, PERF.md); numerically within input
+    # quantization (<=1.5e-5 after normalization) of the f32 path
+    quantize_upload: bool = True
 
 
 @dataclasses.dataclass

@@ -824,13 +824,22 @@ class ObjectMemory:
             embs_pad[:len(det)] = detected_embs
             det_valid = np.zeros((d_pad,), np.float32)
             det_valid[:len(det)] = 1.0
-            # small f32 section + byte section (rgb u8, bit-packed masks):
-            # the all-f32 layout cost ~1.7 MB/query ≈ 56 ms over the tunnel
+            # small f32 section + byte section (rgb u8, u16 depth,
+            # bit-packed masks): the all-f32 layout cost ~1.7 MB/query
+            # ≈ 56 ms over the tunnel; depth ships as per-frame-scaled u16
+            # (error <= max_depth/65535/2, ~0.1 mm at 10 m — far below the
+            # 2 cm registration voxel)
+            darr = np.nan_to_num(np.asarray(depth, np.float32),
+                                 nan=0.0, posinf=0.0, neginf=0.0)
+            dmax = float(darr.max())
+            scale = (65535.0 / dmax) if dmax > 0 else 1.0
+            d16 = np.round(darr.astype(np.float64) * scale).astype("<u2")
             qbuf = np.concatenate([
-                np.asarray(depth, np.float32).ravel(),
+                np.float32([1.0 / scale]),
                 embs_pad.ravel(), det_valid])
             qbytes = np.concatenate([
                 np.asarray(rgb, np.uint8).ravel(),
+                d16.ravel().view(np.uint8),
                 np.packbits(np.asarray(masks, bool).ravel())])
             budget = 4 * top_n * 4  # reference pop budget: num_per_length*D*4
             statics = dict(

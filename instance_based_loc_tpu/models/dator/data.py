@@ -112,7 +112,13 @@ class PKSampler:
         return batches
 
     def load_batch(self, batch_idxs: list[int],
-                   height: int = 256, width: int = 128):
+                   height: int = 256, width: int = 128,
+                   quantize: bool = False):
+        """quantize=True returns u8 rgb (B, H, W, 3) and single-channel u16
+        depth (B, H, W) for device-side dequantization
+        (`train.dequantize_batch`) — a ~4.8x smaller upload than the
+        normalized f32 tensors (786 KB -> 163 KB per 256x128 sample), which
+        is the binding constraint for on-chip training over the tunnel."""
         from PIL import Image
         rgbs, depths, pids = [], [], []
         for i in batch_idxs:
@@ -122,8 +128,21 @@ class PKSampler:
                 depth = np.load(s.depth_path)
             else:
                 depth = np.asarray(Image.open(s.depth_path))
-            rgbs.append(preprocess_rgb(rgb, height, width))
-            depths.append(preprocess_depth(depth, height, width))
+            if quantize:
+                rgbs.append(np.asarray(
+                    Image.fromarray(rgb.astype(np.uint8)).resize(
+                        (width, height), Image.BILINEAR), np.uint8))
+                d = np.asarray(depth, np.float32)
+                if d.ndim == 3:
+                    d = d.mean(-1)
+                d = np.clip(np.asarray(
+                    Image.fromarray(d).resize((width, height),
+                                              Image.BILINEAR), np.float32),
+                    0.0, 50.0)
+                depths.append(np.round(d * (65535.0 / 50.0)).astype(np.uint16))
+            else:
+                rgbs.append(preprocess_rgb(rgb, height, width))
+                depths.append(preprocess_depth(depth, height, width))
             pids.append(s.pid)
         return (np.stack(rgbs), np.stack(depths),
                 np.asarray(pids, np.int32))

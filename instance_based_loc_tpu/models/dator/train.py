@@ -155,10 +155,26 @@ def create_train_state(model_cfg: FourDNetConfig, train_cfg: TrainConfig,
                       opt_state=tx.init(params), tx=tx, apply_fn=model.apply)
 
 
+def dequantize_batch(rgb, depth):
+    """Device-side inverse of `data.PKSampler.load_batch(quantize=True)`:
+    u8 rgb and single-channel u16 depth -> the normalized f32 tensors the
+    model expects. rgb: u8*(2/255)-1 == ((u8/255)-.5)/.5 exactly; depth:
+    u16*(2/65535)-1 matches the f32 clip[0,50]->[-1,1] recipe within the
+    0.76 mm input quantization. f32 inputs pass through unchanged."""
+    if rgb.dtype == jnp.uint8:
+        rgb = rgb.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+    if depth.dtype == jnp.uint16:
+        d = depth.astype(jnp.float32) * (2.0 / 65535.0) - 1.0
+        depth = jnp.repeat(d[..., None], 3, axis=-1)
+    return rgb, depth
+
+
 def train_step(state: TrainState, rgb, depth, labels, rng,
                train_cfg: TrainConfig):
     """One CE+triplet step. Pure function of (state, batch, rng) — jit/pjit it
-    with the shardings from `parallel.sharding.dator_shardings`."""
+    with the shardings from `parallel.sharding.dator_shardings`. Accepts
+    quantized (u8 rgb / u16 depth) batches and dequantizes on device."""
+    rgb, depth = dequantize_batch(rgb, depth)
 
     def loss_fn(params):
         cls_score, feat = state.apply_fn(

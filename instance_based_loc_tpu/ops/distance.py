@@ -58,8 +58,9 @@ def masked_nearest(a: jax.Array, b: jax.Array, b_mask: jax.Array,
     if chunk <= 0 or chunk >= m or m % chunk != 0:
         d2 = pairwise_sq_dists(a, b)
         d2 = jnp.where(b_mask[None, :], d2, big)
-        idx = jnp.argmin(d2, axis=1)
-        return idx, jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+        # min + argmin fuse into one reduction pass over the (N, M) matrix;
+        # a take_along_axis gather here would re-read all 33 MB of it
+        return jnp.argmin(d2, axis=1), jnp.min(d2, axis=1)
 
     n = a.shape[0]
     sq_a = jnp.sum(a * a, axis=-1)
@@ -71,7 +72,7 @@ def masked_nearest(a: jax.Array, b: jax.Array, b_mask: jax.Array,
         d2 = sq_a[:, None] + jnp.sum(b_c * b_c, -1)[None, :] - 2.0 * gram(a, b_c)
         d2 = jnp.where(m_c[None, :], jnp.maximum(d2, 0.0), big)
         i = jnp.argmin(d2, axis=1)
-        v = jnp.take_along_axis(d2, i[:, None], axis=1)[:, 0]
+        v = jnp.min(d2, axis=1)
         upd = v < best_v
         best_v = jnp.where(upd, v, best_v)
         best_i = jnp.where(upd, i.astype(jnp.int32) + c * chunk, best_i)

@@ -610,15 +610,22 @@ def _packed_body(query_f32, query_u8, mem_args, scalars, key,
         pos += n
         return out
 
-    depth = take(h * w).reshape(h, w)
+    inv_scale = take(1)[0]
     det_embs = take(d_pad * e_dim).reshape(d_pad, e_dim)
     det_valid = take(d_pad) > 0.5
 
-    # u8 section: rgb bytes + MSB-first bit-packed masks (np.packbits) —
-    # the query upload shrinks ~5.5x vs all-f32, which over the ~30 MB/s
-    # tunnel was the single largest per-query cost (~56 ms)
+    # u8 section: rgb bytes + little-endian u16 depth (per-frame scale,
+    # quantization error <= max_depth/65535/2 ~ 0.1 mm, far below the 2 cm
+    # registration voxel) + MSB-first bit-packed masks (np.packbits) — the
+    # query upload shrinks ~7x vs all-f32; over the ~30 MB/s tunnel the
+    # upload was the single largest per-query cost (~56 ms as f32)
     rgb = query_u8[:h * w * 3].reshape(h, w, 3).astype(jnp.float32)
-    mask_bytes = query_u8[h * w * 3:]
+    doff = h * w * 3
+    dbytes = query_u8[doff:doff + 2 * h * w].reshape(h * w, 2)
+    d16 = (dbytes[:, 0].astype(jnp.uint16)
+           | (dbytes[:, 1].astype(jnp.uint16) << 8))
+    depth = d16.astype(jnp.float32).reshape(h, w) * inv_scale
+    mask_bytes = query_u8[doff + 2 * h * w:]
     shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)       # MSB first
     bits = (mask_bytes[:, None] >> shifts[None, :]) & 1   # (B, 8)
     masks = bits.reshape(-1)[:d_pad * h * w].reshape(d_pad, h, w) > 0

@@ -160,3 +160,45 @@ def test_lora_only_mask_freezes_towers():
     state, _ = train_step(state, rgb, depth, labels, jax.random.PRNGKey(0), tcfg)
     after = np.asarray(state.params["params"]["towers"]["patch_embed"]["kernel"])
     np.testing.assert_array_equal(before, after)  # frozen backbone
+
+
+def test_quantized_batch_matches_f32_path(tmp_path, rng):
+    """load_batch(quantize=True) + device dequantize must reproduce the f32
+    preprocessing within input quantization (u8 rgb exact, u16 depth
+    <=2/65535 after normalization), and train_step must accept either."""
+    from PIL import Image
+    from instance_based_loc_tpu.models.dator.data import PKSampler, scan_instance_dirs
+    from instance_based_loc_tpu.models.dator.train import (
+        TrainConfig, create_train_state, dequantize_batch, train_step)
+
+    for pid in range(2):
+        d = tmp_path / f"obj_{pid}"
+        d.mkdir()
+        for i in range(2):
+            arr = (rng.random((40, 24, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"s{i}_rgb.png")
+            np.save(d / f"s{i}_depth.npy",
+                    (rng.random((40, 24)) * 8).astype(np.float32))
+    samples = scan_instance_dirs(str(tmp_path))
+    sampler = PKSampler(samples, batch_size=4, num_instances=2)
+    idxs = list(range(4))
+
+    rgb_f, dep_f, pids_f = sampler.load_batch(idxs, 32, 16)
+    rgb_q, dep_q, pids_q = sampler.load_batch(idxs, 32, 16, quantize=True)
+    assert rgb_q.dtype == np.uint8 and dep_q.dtype == np.uint16
+    assert dep_q.shape == (4, 32, 16)
+    np.testing.assert_array_equal(pids_f, pids_q)
+    rgb_d, dep_d = dequantize_batch(jnp.asarray(rgb_q), jnp.asarray(dep_q))
+    np.testing.assert_allclose(np.asarray(rgb_d), rgb_f, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dep_d), dep_f, atol=2.0 / 65535 + 1e-6)
+
+    tcfg = TrainConfig(base_lr=0.01, optimizer="sgd", epochs=1,
+                       steps_per_epoch=1, warmup_epochs=0)
+    state = create_train_state(TINY_CFG, tcfg, jax.random.PRNGKey(0),
+                               height=32, width=16)
+    _, m_q = train_step(state, jnp.asarray(rgb_q), jnp.asarray(dep_q),
+                        jnp.asarray(pids_q), jax.random.PRNGKey(0), tcfg)
+    _, m_f = train_step(state, jnp.asarray(rgb_f), jnp.asarray(dep_f),
+                        jnp.asarray(pids_f), jax.random.PRNGKey(0), tcfg)
+    np.testing.assert_allclose(float(m_q["loss"]), float(m_f["loss"]),
+                               rtol=1e-3, atol=1e-3)
