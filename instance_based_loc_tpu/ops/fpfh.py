@@ -35,6 +35,14 @@ from .normals import knn_hybrid
 FPFH_BINS = 11
 FPFH_DIM = 3 * FPFH_BINS
 
+# Opt-in bf16 for the (N, k, bins) one-hot/gather tensors — the largest
+# HBM traffic in the FPFH stage (trace: the six (N*k, 33) broadcast fusions,
+# PERF.md). Histogram increments are ~100/(k-1) and FPFH only seeds the
+# RANSAC coarse basin, so the ~0.4% bf16 relative error is far below the
+# matching noise floor; accumulations stay f32.
+import os
+FPFH_BF16 = bool(int(os.environ.get("IBL_FPFH_BF16", "0")))
+
 
 def _pair_features(p_s, n_s, p_t, n_t):
     """PCL pair features (f1, f3, f4) for source/target points+normals.
@@ -91,17 +99,22 @@ def compute_fpfh(points: jax.Array, normals: jax.Array, mask: jax.Array,
     k_valid = jnp.sum(ok.astype(jnp.float32), axis=1)            # (N,)
     incr = jnp.where(k_valid > 0, 100.0 / jnp.maximum(k_valid, 1.0), 0.0)
 
-    w = ok.astype(jnp.float32) * incr[:, None]                   # (N, k)
-    oh1 = jax.nn.one_hot(b1, FPFH_BINS, dtype=jnp.float32) * w[..., None]
-    oh3 = jax.nn.one_hot(b3, FPFH_BINS, dtype=jnp.float32) * w[..., None]
-    oh4 = jax.nn.one_hot(b4, FPFH_BINS, dtype=jnp.float32) * w[..., None]
-    spfh = jnp.concatenate([oh1.sum(1), oh3.sum(1), oh4.sum(1)], axis=-1)  # (N, 33)
+    hdt = jnp.bfloat16 if FPFH_BF16 else jnp.float32
+    w = (ok.astype(jnp.float32) * incr[:, None]).astype(hdt)     # (N, k)
+    oh1 = jax.nn.one_hot(b1, FPFH_BINS, dtype=hdt) * w[..., None]
+    oh3 = jax.nn.one_hot(b3, FPFH_BINS, dtype=hdt) * w[..., None]
+    oh4 = jax.nn.one_hot(b4, FPFH_BINS, dtype=hdt) * w[..., None]
+    spfh = jnp.concatenate([oh1.sum(1, dtype=jnp.float32),
+                            oh3.sum(1, dtype=jnp.float32),
+                            oh4.sum(1, dtype=jnp.float32)], axis=-1)  # (N, 33)
 
     # FPFH aggregation: spfh(p) + (1/k) sum_q spfh(q) / dist(p, q)
     inv_d = jnp.where(ok & (dist > 1e-12), 1.0 / jnp.maximum(dist, 1e-12), 0.0)
-    neigh = spfh[idx]                                            # (N, k, 33)
-    agg = jnp.einsum("nk,nkf->nf", inv_d, neigh,
-                     precision=jax.lax.Precision.HIGHEST)
+    neigh = spfh.astype(hdt)[idx]                                # (N, k, 33)
+    agg = jnp.einsum("nk,nkf->nf", inv_d.astype(hdt), neigh,
+                     precision=(None if FPFH_BF16
+                                else jax.lax.Precision.HIGHEST),
+                     preferred_element_type=jnp.float32)
     fpfh = spfh + agg / jnp.maximum(k_valid, 1.0)[:, None]
 
     # normalize to sum 100 (scale-invariant for NN matching)
