@@ -88,6 +88,18 @@ REG_SEEDS = _env_int("IBL_REG_SEEDS", 1)   # independent registration seeds
                                  # CPU sweep measured 0 seed failures either
                                  # way, so there is no evidence basis for
                                  # shipping redundancy on by default
+RANSAC_PAIRS_MAX = _env_int("IBL_RANSAC_PAIRS", 1)
+                                 # run the FPFH+RANSAC coarse stage only for
+                                 # assignments with <= this many pairs; the
+                                 # rest seed ICP from the centroid-Kabsch
+                                 # init alone (>= 2 centroid pairs already
+                                 # pin the basin; RANSAC mainly rescues
+                                 # 1-pair assignments, where Kabsch has no
+                                 # init — PERF.md lever (c), quality gates
+                                 # replayed green at 1). IBL_RANSAC_PAIRS=3
+                                 # restores RANSAC on every assignment (the
+                                 # reference runs its RANSAC+ICP pipeline on
+                                 # all of them, object_memory.py:1020-1106)
 
 
 @jax.jit
@@ -852,7 +864,8 @@ class ObjectMemory:
                 icp_coarse_iters=ICP_COARSE_ITERS,
                 icp_fine_iters=ICP_FINE_ITERS,
                 icp_early_exit=ICP_EARLY_EXIT,
-                reg_seeds=REG_SEEDS, fpfh_nn=FPFH_MAX_NN)
+                reg_seeds=REG_SEEDS, fpfh_nn=FPFH_MAX_NN,
+                ransac_pairs_max=RANSAC_PAIRS_MAX)
             scalars = (jnp.float32(self.camera_focal_lenth_x),
                        jnp.float32(self.camera_focal_lenth_y),
                        jnp.float32(cfg["radius"] if cfg else 0.05),

@@ -337,34 +337,53 @@ def select_assignments(subsets: np.ndarray, vol_vals: np.ndarray,
 def _register_one(sp, sc, sm, tp, tc, tm, init_T, has_init, key, *,
                   fpfh_cap, voxel_size, global_dist_factor,
                   local_dist_factor, num_hyp, icp_coarse_iters,
-                  icp_fine_iters, icp_early_exit, fpfh_nn=100):
+                  icp_fine_iters, icp_early_exit, fpfh_nn=100,
+                  do_ransac=True, check_basin=True):
     """One assignment: FPFH+RANSAC coarse align on a feature subsample, best
     init (RANSAC vs centroid-Kabsch) picked by coarse inlier count, then
     multi-scale colored ICP (reference fpfh_register.py:100-143 + the
-    Kabsch-init refinement path). Clouds are mean-centred by the caller."""
+    Kabsch-init refinement path). Clouds are mean-centred by the caller.
+
+    Static fast paths (both preserve the ICP stage unchanged):
+      do_ransac=False  skip FPFH/normals/RANSAC entirely and seed ICP from
+                       the centroid-Kabsch init (multi-pair assignments,
+                       where the correspondence-free init already lands in
+                       the right basin — PERF.md round-3 lever (c)).
+      check_basin=False skip the RANSAC-vs-init coarse evaluation; used when
+                       the caller knows has_init is always False (1-pair
+                       assignments: a single centroid pair cannot seed
+                       Kabsch), where T0 == T_ransac unconditionally."""
     radius_normal = voxel_size * 2.0
     radius_feature = voxel_size * 5.0
     coarse_dist = voxel_size * 4.0
     fine_dist = voxel_size * local_dist_factor
 
-    # FPFH on a subsample: rows are already in random order (top_k over
-    # uniform scores), so a prefix is a uniform subsample
-    fsp, fsm = sp[:fpfh_cap], sm[:fpfh_cap]
-    ftp, ftm = tp[:fpfh_cap], tm[:fpfh_cap]
-    sn = estimate_normals(fsp, fsm, radius_normal, max_nn=30)
-    tn = estimate_normals(ftp, ftm, radius_normal, max_nn=30)
-    sf = compute_fpfh(fsp, sn, fsm, radius_feature, max_nn=fpfh_nn)
-    tf = compute_fpfh(ftp, tn, ftm, radius_feature, max_nn=fpfh_nn)
-    ci, cv = feature_correspondences(sf, fsm, tf, ftm, mutual=True)
-    T_ransac, _, _ = ransac_registration(
-        fsp, fsm, ftp, ci, cv, voxel_size * global_dist_factor, key,
-        num_hypotheses=num_hyp)
+    if not do_ransac:
+        T0 = jnp.where(has_init, init_T, jnp.eye(4, dtype=init_T.dtype))
+    else:
+        # FPFH on a subsample: rows are already in random order (top_k over
+        # uniform scores), so a prefix is a uniform subsample
+        fsp, fsm = sp[:fpfh_cap], sm[:fpfh_cap]
+        ftp, ftm = tp[:fpfh_cap], tm[:fpfh_cap]
+        sn = estimate_normals(fsp, fsm, radius_normal, max_nn=30)
+        tn = estimate_normals(ftp, ftm, radius_normal, max_nn=30)
+        sf = compute_fpfh(fsp, sn, fsm, radius_feature, max_nn=fpfh_nn)
+        tf = compute_fpfh(ftp, tn, ftm, radius_feature, max_nn=fpfh_nn)
+        ci, cv = feature_correspondences(sf, fsm, tf, ftm, mutual=True)
+        T_ransac, _, _ = ransac_registration(
+            fsp, fsm, ftp, ci, cv, voxel_size * global_dist_factor, key,
+            num_hypotheses=num_hyp)
 
-    # pick the better basin before ICP
-    _, fit_r = evaluate_transform_arrays(sp, sm, tp, tm, T_ransac, coarse_dist)
-    _, fit_i = evaluate_transform_arrays(sp, sm, tp, tm, init_T, coarse_dist)
-    fit_i = jnp.where(has_init, fit_i, -1.0)
-    T0 = jnp.where(fit_i > fit_r, init_T, T_ransac)
+        if check_basin:
+            # pick the better basin before ICP
+            _, fit_r = evaluate_transform_arrays(sp, sm, tp, tm, T_ransac,
+                                                 coarse_dist)
+            _, fit_i = evaluate_transform_arrays(sp, sm, tp, tm, init_T,
+                                                 coarse_dist)
+            fit_i = jnp.where(has_init, fit_i, -1.0)
+            T0 = jnp.where(fit_i > fit_r, init_T, T_ransac)
+        else:
+            T0 = T_ransac
 
     if icp_early_exit:
         T, _, _ = icp(sp, sm, tp, tm, coarse_dist, init_transform=T0,
@@ -397,7 +416,9 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
                     reg_cap: int, fpfh_cap: int, eval_cap: int,
                     num_hyp: int, icp_coarse_iters: int,
                     icp_fine_iters: int, icp_early_exit: bool = False,
-                    reg_seeds: int = 1, fpfh_nn: int = 100):
+                    reg_seeds: int = 1, fpfh_nn: int = 100,
+                    slot_lengths: tuple | None = None,
+                    ransac_pairs_max: int = 3):
     """ALL assignment registrations + evaluation + selection + pose
     composition in one program (reference object_memory.py:1020-1131).
 
@@ -410,6 +431,18 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
         assn_valid (A,): the host-selected assignments (padded).
       top1_mem (top_n,) int32: each detection's top-1 memory object (for the
         centroid consistency gate).
+      slot_lengths: static per-slot pair counts (0 = padding slot). When
+        given together with ransac_pairs_max < max(slot_lengths), the
+        assignment vmap is STATICALLY partitioned: slots with
+        1 <= L <= ransac_pairs_max run the full FPFH+RANSAC coarse stage,
+        all other slots seed ICP from the centroid-Kabsch init alone (the
+        init competes with RANSAC per-basin anyway, and with >= 2 centroid
+        pairs it already lands the right basin — PERF.md lever (c); RANSAC
+        mainly rescues 1-pair assignments, which keep it). The fused
+        localise_frame path knows the layout statically
+        ((1, 2, 2, 3, 3, 3, 0...) from _select_body); host-driven
+        register_select callers leave it None => every slot runs RANSAC
+        (reference-grade behavior).
 
     Returns (pose7, best_idx, stats) where stats is a dict of (A,) arrays —
     one small fetch for everything.
@@ -448,7 +481,8 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
     a_rows = assn_det.shape[0]
     keys = jax.random.split(kroot, a_rows * 2).reshape(a_rows, 2, 2)
 
-    def one_assignment(det_idx, mem_idx, pvalid, kk):
+    def one_assignment(det_idx, mem_idx, pvalid, kk, *,
+                       do_ransac=True, check_basin=True):
         sp, sc, sm, dmean = build_side(sel_pts, sel_cols, sel_msk,
                                        det_idx, pvalid, kk[0])
         tp, tc, tm, mmean = build_side(mem_pts, mem_cols, mem_msk,
@@ -467,7 +501,8 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
             local_dist_factor=local_dist_factor, num_hyp=num_hyp,
             icp_coarse_iters=icp_coarse_iters,
             icp_fine_iters=icp_fine_iters,
-            icp_early_exit=icp_early_exit, fpfh_nn=fpfh_nn)
+            icp_early_exit=icp_early_exit, fpfh_nn=fpfh_nn,
+            do_ransac=do_ransac, check_basin=check_basin)
 
         # compose the global transform and evaluate on the FULL clouds
         # (object_memory.py:1096-1106)
@@ -495,8 +530,36 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
         return (T, gT, rmse, fitness, full_rmse, full_fitness, score,
                 dmean, mmean)
 
-    (T, gT, rmse, fitness, full_rmse, full_fitness, scores, dmeans,
-     mmeans) = jax.vmap(one_assignment)(assn_det, assn_mem, pair_valid, keys)
+    lens = tuple(slot_lengths) * reg_seeds if slot_lengths else None
+    if lens is not None and ransac_pairs_max < max(lens):
+        assert len(lens) == a_rows, (len(lens), a_rows)
+        # static partition: full-path lanes vs Kabsch-init-only lanes
+        # (padding slots L == 0 go to the cheap group; their scores are
+        # masked to -inf by assn_valid below either way)
+        idx_r = tuple(i for i, L in enumerate(lens)
+                      if 1 <= L <= ransac_pairs_max)
+        idx_k = tuple(i for i, L in enumerate(lens)
+                      if not (1 <= L <= ransac_pairs_max))
+        assert idx_r, "no RANSAC-eligible slot (ransac_pairs_max < 1?)"
+        # a single centroid pair cannot seed Kabsch => basin check is dead
+        # code when every RANSAC lane is a 1-pair slot
+        basin = any(lens[i] >= 2 for i in idx_r)
+        gr = jnp.asarray(idx_r, jnp.int32)
+        gk = jnp.asarray(idx_k, jnp.int32)
+        out_r = jax.vmap(partial(one_assignment, do_ransac=True,
+                                 check_basin=basin))(
+            assn_det[gr], assn_mem[gr], pair_valid[gr], keys[gr])
+        out_k = jax.vmap(partial(one_assignment, do_ransac=False,
+                                 check_basin=False))(
+            assn_det[gk], assn_mem[gk], pair_valid[gk], keys[gk])
+        inv = np.argsort(np.asarray(idx_r + idx_k))
+        (T, gT, rmse, fitness, full_rmse, full_fitness, scores, dmeans,
+         mmeans) = (jnp.concatenate([r, kx])[inv]
+                    for r, kx in zip(out_r, out_k))
+    else:
+        (T, gT, rmse, fitness, full_rmse, full_fitness, scores, dmeans,
+         mmeans) = jax.vmap(one_assignment)(assn_det, assn_mem,
+                                            pair_valid, keys)
 
     score = jnp.where(assn_valid, scores, -jnp.inf)
     if reg_seeds > 1:
@@ -528,7 +591,7 @@ def _register_select_body(sel_pts, sel_cols, sel_msk, sel_cent, active,
 register_select = partial(jax.jit, static_argnames=(
     "reg_cap", "fpfh_cap", "eval_cap", "num_hyp", "icp_coarse_iters",
     "icp_fine_iters", "icp_early_exit", "reg_seeds",
-    "fpfh_nn"))(_register_select_body)
+    "fpfh_nn", "slot_lengths", "ransac_pairs_max"))(_register_select_body)
 
 
 # --------------------------------------------------------------------------- #
@@ -539,7 +602,8 @@ register_select = partial(jax.jit, static_argnames=(
                                    "reg_cap", "fpfh_cap", "eval_cap",
                                    "num_hyp", "icp_coarse_iters",
                                    "icp_fine_iters", "icp_early_exit",
-                                   "reg_seeds", "fpfh_nn"))
+                                   "reg_seeds", "fpfh_nn",
+                                   "ransac_pairs_max"))
 def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    mem_pts, mem_cols, mem_msk, mem_cent,
                    mem_ex, mem_ex_valid, mem_valid,
@@ -552,7 +616,8 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
                    reg_cap: int, fpfh_cap: int, eval_cap: int,
                    num_hyp: int, icp_coarse_iters: int,
                    icp_fine_iters: int, icp_early_exit: bool = False,
-                   reg_seeds: int = 1, fpfh_nn: int = 100):
+                   reg_seeds: int = 1, fpfh_nn: int = 100,
+                   ransac_pairs_max: int = 3):
     """The whole localise query (reference object_memory.py:852-1169) as one
     XLA program: preparation + assignment selection + registration +
     evaluation + pose composition. One upload, one dispatch, one small fetch
@@ -572,6 +637,13 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
         subsets, fetch["vol_vals"], fetch["vol_idx"], m_pad, a_pad)
 
     top1 = jnp.argmax(fetch["sims"], axis=1).astype(jnp.int32)
+    # _select_body's slot layout is static: max(1, L) slots per assignment
+    # length L in ascending order, zero-padded to a_pad
+    k = subsets.shape[1]
+    slot_lengths = tuple(L for L in range(1, k + 1)
+                         for _ in range(max(1, L)))
+    assert a_pad >= len(slot_lengths), (a_pad, slot_lengths)
+    slot_lengths += (0,) * (a_pad - len(slot_lengths))
     pose7, best, stats = _register_select_body(
         kept["sel_pts"], kept["sel_cols"], kept["sel_msk"],
         kept["sel_cent"], kept["active"],
@@ -583,7 +655,8 @@ def localise_frame(depth, rgb, masks, det_embs, det_valid,
         reg_cap=reg_cap, fpfh_cap=fpfh_cap, eval_cap=eval_cap,
         num_hyp=num_hyp, icp_coarse_iters=icp_coarse_iters,
         icp_fine_iters=icp_fine_iters, icp_early_exit=icp_early_exit,
-        reg_seeds=reg_seeds, fpfh_nn=fpfh_nn)
+        reg_seeds=reg_seeds, fpfh_nn=fpfh_nn,
+        slot_lengths=slot_lengths, ransac_pairs_max=ransac_pairs_max)
 
     out = dict(pose7=pose7, best=best,
                assn_det=assn_det, assn_mem=assn_mem,
@@ -597,7 +670,8 @@ _PACKED_STATICS = ("top_n", "budget", "outlier_passes", "nb_points",
                    "min_det_points", "a_pad", "reg_cap", "fpfh_cap",
                    "eval_cap", "num_hyp", "icp_coarse_iters",
                    "icp_fine_iters", "icp_early_exit", "reg_seeds",
-                   "fpfh_nn", "h", "w", "d_pad", "e_dim", "keep_debug")
+                   "fpfh_nn", "ransac_pairs_max",
+                   "h", "w", "d_pad", "e_dim", "keep_debug")
 
 
 def _packed_body(query_f32, query_u8, mem_args, scalars, key,

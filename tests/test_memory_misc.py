@@ -133,3 +133,53 @@ def test_localise_batched_matches_single():
         for (p1, a1), (p2, a2) in zip(singles, chunked):
             np.testing.assert_allclose(p1, p2, atol=0)
             assert a1[0] == a2[0]
+
+
+@pytest.mark.slow
+def test_ransac_partition_knob_quality():
+    """The statically-partitioned registration (FPFH+RANSAC only on 1-pair
+    assignment slots, centroid-Kabsch init elsewhere — IBL_RANSAC_PAIRS=1,
+    the default) and the reference-grade all-slots-RANSAC program
+    (IBL_RANSAC_PAIRS=3) both localise a held-out view within the
+    reference's success thresholds (tum_localisation_trial.py:274)."""
+    from instance_based_loc_tpu.memory import object_memory as om
+    from instance_based_loc_tpu.ops.transforms import quaternion_error
+
+    # the proven-accuracy world of test_memory_e2e.py::test_localise_held_out_view
+    focal = 200.0
+    scene = default_scene(num_objects=5, seed=3)
+    poses = ring_poses(7, radius=4.5, height=1.3, target=(0, 0.4, 0))
+    frames = [render_scene(scene, p, 160, 220, focal) for p in poses]
+    memory = ObjectMemory(
+        detector=ColorRegionDetector(min_area=80,
+                                     floor_colors=[scene.floor_color]),
+        camera_focal_lenth_x=focal, camera_focal_lenth_y=focal,
+        get_embeddings_func=get_embedder("color"), log_enabled=False)
+    for i in range(6):
+        rgb, depth, _ = frames[i]
+        memory.process_image(rgb, depth, poses[i], consider_floor=True,
+                             min_points=200, outlier_removal_config=None)
+    memory.downsample_all_objects(voxel_size=0.02)
+    memory.recluster_objects_with_dbscan(eps=0.1, min_points_per_cluster=40)
+
+    rgb, depth, _ = frames[6]
+    true_pose = poses[6]
+    saved = om.RANSAC_PAIRS_MAX
+    results = {}
+    try:
+        for knob in (1, 3):
+            om.RANSAC_PAIRS_MAX = knob
+            memory._frame_counter = 100  # identical per-query keys
+            pose, (assn, _) = memory.localise(rgb, depth,
+                                              outlier_removal_config=None)
+            results[knob] = (pose, assn)
+    finally:
+        om.RANSAC_PAIRS_MAX = saved
+
+    for knob, (pose, assn) in results.items():
+        trans_err = np.linalg.norm(pose[:3] - true_pose[:3])
+        rot_err = float(quaternion_error(jnp.asarray(true_pose[3:]),
+                                         jnp.asarray(pose[3:])))
+        assert trans_err < 0.6, (knob, trans_err)
+        assert rot_err < 0.3, (knob, rot_err)
+        assert len(assn) >= 1
