@@ -88,18 +88,19 @@ REG_SEEDS = _env_int("IBL_REG_SEEDS", 1)   # independent registration seeds
                                  # CPU sweep measured 0 seed failures either
                                  # way, so there is no evidence basis for
                                  # shipping redundancy on by default
-RANSAC_PAIRS_MAX = _env_int("IBL_RANSAC_PAIRS", 1)
-                                 # run the FPFH+RANSAC coarse stage only for
+RANSAC_PAIRS_MAX = _env_int("IBL_RANSAC_PAIRS", 3)
+                                 # run the FPFH+RANSAC coarse stage for
                                  # assignments with <= this many pairs; the
                                  # rest seed ICP from the centroid-Kabsch
-                                 # init alone (>= 2 centroid pairs already
-                                 # pin the basin; RANSAC mainly rescues
-                                 # 1-pair assignments, where Kabsch has no
-                                 # init — PERF.md lever (c), quality gates
-                                 # replayed green at 1). IBL_RANSAC_PAIRS=3
-                                 # restores RANSAC on every assignment (the
-                                 # reference runs its RANSAC+ICP pipeline on
-                                 # all of them, object_memory.py:1020-1106)
+                                 # init alone. Default 3 = RANSAC on every
+                                 # assignment, matching the reference's
+                                 # pipeline (object_memory.py:1020-1106).
+                                 # IBL_RANSAC_PAIRS=1 is the measured perf
+                                 # mode (7.07 vs 11.85 ms/query trace-exact,
+                                 # PERF.md lever (c)) but a 36-pose CPU
+                                 # replay showed it flips one marginal pose
+                                 # (#15, 0.40 -> 0.69 m) through candidate
+                                 # selection, so speed-over-parity is opt-in
 
 
 @jax.jit

@@ -139,9 +139,9 @@ def test_localise_batched_matches_single():
 def test_ransac_partition_knob_quality():
     """The statically-partitioned registration (FPFH+RANSAC only on 1-pair
     assignment slots, centroid-Kabsch init elsewhere — IBL_RANSAC_PAIRS=1,
-    the default) and the reference-grade all-slots-RANSAC program
-    (IBL_RANSAC_PAIRS=3) both localise a held-out view within the
-    reference's success thresholds (tum_localisation_trial.py:274)."""
+    the opt-in perf mode) and the reference-grade all-slots-RANSAC program
+    (IBL_RANSAC_PAIRS=3, the default) both localise a held-out view within
+    the reference's success thresholds (tum_localisation_trial.py:274)."""
     from instance_based_loc_tpu.memory import object_memory as om
     from instance_based_loc_tpu.ops.transforms import quaternion_error
 
