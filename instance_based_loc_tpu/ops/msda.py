@@ -9,11 +9,26 @@ reduce with softmax `attention_weights`:
 
     out[q, h] = sum_{l, k} w[q, h, l, k] * bilinear(value_l[..., h], loc[q, h, l, k])
 
-TPU-native design: the gather-heavy sampling vectorizes cleanly as jnp
-gathers (XLA fuses the 4-tap bilinear blend); sequence/query/head/level/point
-axes are all batched in ONE einsum-shaped program — no per-level Python loop
-at runtime. Verified against the standard pure-torch reference
-implementation in tests.
+TPU-native design (chosen by measurement — perf/msda_probe.py on a v5e):
+the naive 4-taps x L-levels advanced-indexing form lowers to 16 XLA gathers
+of ~Q*H*K 32-wide slices per call and is gather-unit bound (~73% of a
+GroundingDINO@800 forward; perf/gdino_trace.py). Two faster lowerings,
+selected per level:
+
+* big levels — ONE flat gather per level: the 4 bilinear taps and the head
+  axis fold into a single linear index space over (S_l * H) rows, so XLA
+  emits one large gather instead of four, reading the value rows at their
+  native dtype (bf16 in deployment) and only upcasting after the gather.
+* small levels (S_l <= MATMUL_MAX_S) — zero gathers: the 4 taps x K points
+  and their attention weights fold into one sparse-as-dense matrix
+  W (Q, S_l) built by iota-compare accumulation, and sampling+reduction
+  becomes W @ V_l on the MXU (the classic one-hot-matmul lookup trick).
+
+Probe numbers at the @800 encoder shape (Q = S = 13294, H8 L4 K4 D32,
+tunnel residual ~30 ms included in all): naive 95 ms, flat-gather 54 ms,
+all-matmul 41 ms, this hybrid 37 ms — ~10x less device time than naive
+after subtracting the residual. Verified against the standard pure-torch
+reference implementation in tests/test_cascade.py.
 """
 
 from __future__ import annotations
@@ -22,6 +37,103 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# levels at least this big use the flat-gather lowering; smaller ones use
+# the MXU matmul lowering. At the GroundingDINO@800 pyramid
+# (100^2, 50^2, 25^2, 13^2) only the 100^2 level gathers — the measured
+# fastest split (perf/msda_probe.py v3).
+MATMUL_MAX_S = 4096
+
+
+def _tap_index_weights(loc, hh: int, ww: int):
+    """Bilinear taps for one level: loc (..., 2) in [0, 1] ->
+    [(yi, xi, w)] x 4 with out-of-range taps weighted 0 (grid_sample
+    zero-padding, align_corners=False: pixel centers at (i + 0.5) / size)."""
+    x = loc[..., 0] * ww - 0.5
+    y = loc[..., 1] * hh - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    taps = []
+    for dy, dx, wgt in ((0, 0, (1 - wx1) * (1 - wy1)),
+                        (0, 1, wx1 * (1 - wy1)),
+                        (1, 0, (1 - wx1) * wy1),
+                        (1, 1, wx1 * wy1)):
+        yy = y0 + dy
+        xx = x0 + dx
+        inside = (xx >= 0) & (xx <= ww - 1) & (yy >= 0) & (yy <= hh - 1)
+        yi = jnp.clip(yy, 0, hh - 1).astype(jnp.int32)
+        xi = jnp.clip(xx, 0, ww - 1).astype(jnp.int32)
+        taps.append((yi, xi, wgt * inside))
+    return taps
+
+
+def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
+    """Flat-gather lowering for one level.
+
+    vmap_l (S_l, H, D); loc (Q, H, K, 2); attn_w (Q, H, K) -> (Q, H, D) f32.
+    """
+    s_l, h, d = vmap_l.shape
+    q, _, k, _ = loc.shape
+    flat = vmap_l.reshape(s_l * h, d)
+    taps = _tap_index_weights(loc, hh, ww)
+    hidx = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]   # (1,H,1,1)
+    lin = jnp.stack([(yi * ww + xi) * h for (yi, xi, _) in taps],
+                    axis=-1) + hidx                              # (Q,H,K,4)
+    wts = jnp.stack([w for (_, _, w) in taps], axis=-1)          # (Q,H,K,4)
+    gathered = jnp.take(flat, lin.reshape(-1), axis=0)
+    gathered = gathered.reshape(q, h, k, 4, d).astype(jnp.float32)
+    sampled = jnp.sum(gathered * wts[..., None], axis=-2)        # (Q,H,K,D)
+    return jnp.sum(sampled * attn_w[..., None], axis=-2)
+
+
+def _level_matmul(vmap_l, loc, attn_w, hh: int, ww: int):
+    """MXU lowering for one small level: per head, fold the 4 taps x K
+    points and attention weights into W (Q, S_l) and contract W @ V_l."""
+    s_l, h, d = vmap_l.shape
+    q, _, k, _ = loc.shape
+    taps = _tap_index_weights(loc, hh, ww)
+    iota = jnp.arange(s_l, dtype=jnp.int32)
+
+    def one_head(head):
+        # 4 taps x K points = fused elementwise (Q, S_l) accumulations;
+        # never materializes a (Q, K, S_l) intermediate
+        w_rows = jnp.zeros((q, s_l), jnp.float32)
+        for (yi, xi, wgt) in taps:
+            lin = (yi[:, head] * ww + xi[:, head]).astype(jnp.int32)
+            coeff = wgt[:, head] * attn_w[:, head]               # (Q,K)
+            for kk in range(k):
+                w_rows = w_rows + jnp.where(
+                    lin[:, kk:kk + 1] == iota[None, :],
+                    coeff[:, kk:kk + 1], 0.0)
+        return w_rows @ vmap_l[:, head].astype(jnp.float32)      # (Q,D)
+
+    return jnp.stack([one_head(i) for i in range(h)], axis=1)
+
+
+def _msda_one(value, spatial_shapes, sampling_locations, attention_weights):
+    """Single-batch MSDA: value (S, H, D), loc (Q, H, L, K, 2),
+    weights (Q, H, L, K) -> (Q, H*D) f32."""
+    s, h, d = value.shape
+    q, _, l, k, _ = sampling_locations.shape
+
+    starts, acc = [], 0
+    for (hh, ww) in spatial_shapes:
+        starts.append(acc)
+        acc += hh * ww
+    assert acc == s, (acc, s)
+
+    out = jnp.zeros((q, h, d), jnp.float32)
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        vmap_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], hh * ww,
+                                              axis=0)
+        loc = sampling_locations[:, :, lvl]                      # (Q,H,K,2)
+        w_l = attention_weights[:, :, lvl]                       # (Q,H,K)
+        level_fn = (_level_matmul if hh * ww <= MATMUL_MAX_S
+                    else _level_gather)
+        out = out + level_fn(vmap_l, loc, w_l, hh, ww)
+    return out.reshape(q, h * d)
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes",))
@@ -38,48 +150,8 @@ def multi_scale_deformable_attention(value: jax.Array,
 
     Returns (B, Q, H * D).
     """
-    b, s, h, d = value.shape
-    _, q, _, l, k, _ = sampling_locations.shape
-    assert l == len(spatial_shapes)
-
-    starts = []
-    acc = 0
-    for (hh, ww) in spatial_shapes:
-        starts.append(acc)
-        acc += hh * ww
-    assert acc == s, (acc, s)
-
-    out = jnp.zeros((b, q, h, d), jnp.float32)
-    for lvl, (hh, ww) in enumerate(spatial_shapes):
-        vmap_l = jax.lax.dynamic_slice_in_dim(value, starts[lvl], hh * ww, axis=1)
-        vmap_l = vmap_l.reshape(b, hh, ww, h, d)
-
-        loc = sampling_locations[:, :, :, lvl]          # (B, Q, H, K, 2)
-        # grid_sample(align_corners=False) convention: pixel centers at
-        # (i + 0.5) / size; loc in [0,1] maps to x = loc * W - 0.5
-        x = loc[..., 0] * ww - 0.5
-        y = loc[..., 1] * hh - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        wx1 = x - x0
-        wy1 = y - y0
-
-        def tap(yy, xx, wgt):
-            inside = (xx >= 0) & (xx <= ww - 1) & (yy >= 0) & (yy <= hh - 1)
-            xi = jnp.clip(xx, 0, ww - 1).astype(jnp.int32)
-            yi = jnp.clip(yy, 0, hh - 1).astype(jnp.int32)
-            # gather per (b, q, h, k): value at (b, yi, xi, h, :)
-            bidx = jnp.arange(b)[:, None, None, None]
-            hidx = jnp.arange(h)[None, None, :, None]
-            vals = vmap_l[bidx, yi, xi, hidx]            # (B, Q, H, K, D)
-            return vals * (wgt * inside)[..., None]
-
-        sampled = (tap(y0, x0, (1 - wx1) * (1 - wy1))
-                   + tap(y0, x0 + 1, wx1 * (1 - wy1))
-                   + tap(y0 + 1, x0, (1 - wx1) * wy1)
-                   + tap(y0 + 1, x0 + 1, wx1 * wy1))     # (B, Q, H, K, D)
-
-        w_l = attention_weights[:, :, :, lvl]            # (B, Q, H, K)
-        out = out + jnp.sum(sampled * w_l[..., None], axis=-2)
-
-    return out.reshape(b, q, h * d)
+    assert len(spatial_shapes) == sampling_locations.shape[3]
+    fn = partial(_msda_one, spatial_shapes=spatial_shapes)
+    return jax.vmap(lambda v, sl, aw: fn(v, sampling_locations=sl,
+                                         attention_weights=aw))(
+        value, sampling_locations, attention_weights)

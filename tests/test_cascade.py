@@ -83,18 +83,22 @@ def test_cxcywh_to_xyxy():
 # --------------------------------------------------------------------------- #
 # MSDA vs torch reference formula
 # --------------------------------------------------------------------------- #
-def test_msda_matches_torch_reference(rng):
+@pytest.mark.parametrize("shapes", [
+    ((8, 12), (4, 6)),        # both levels take the MXU matmul lowering
+    ((70, 70), (4, 6)),       # 4900 > MATMUL_MAX_S: level 0 takes flat-gather
+])
+def test_msda_matches_torch_reference(rng, shapes):
     import torch
     import torch.nn.functional as F
     from instance_based_loc_tpu.ops.msda import \
         multi_scale_deformable_attention
 
     b, heads, d = 2, 4, 8
-    shapes = ((8, 12), (4, 6))
     s = sum(h * w for h, w in shapes)
     q, l, k = 10, len(shapes), 3
     value = rng.normal(size=(b, s, heads, d)).astype(np.float32)
-    loc = rng.uniform(0.05, 0.95, size=(b, q, heads, l, k, 2)).astype(np.float32)
+    # spill past [0, 1] to pin zero-padding semantics in both lowerings
+    loc = rng.uniform(-0.05, 1.05, size=(b, q, heads, l, k, 2)).astype(np.float32)
     weights = rng.uniform(size=(b, q, heads, l, k)).astype(np.float32)
     weights /= weights.reshape(b, q, heads, -1).sum(-1)[..., None, None]
 
