@@ -52,7 +52,12 @@ class SamConfig:
     # avoids materializing the (heads, S, S) scores AND the broadcast
     # rel-pos bias (~800 MB f32 per block) in HBM. Windowed blocks (196
     # tokens per window) stay on XLA, where fusion is already resident.
-    use_pallas_attention: bool = False
+    # Default ON: only activates on the TPU backend (CPU runs are
+    # bit-identical to the XLA path) and its bf16-MXU contractions match
+    # the package's bf16 inference policy (~2e-3 vs f32 attention;
+    # measured 64 vs 92 ms/frame on SAM-B@1024, perf/cascade_stages.py).
+    # Set False for f32-exact attention on TPU.
+    use_pallas_attention: bool = True
 
     @property
     def grid(self) -> int:
