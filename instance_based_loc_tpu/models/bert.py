@@ -45,7 +45,7 @@ class BertLayer(nn.Module):
         q = heads(nn.Dense(d, name="query")(x))
         k = heads(nn.Dense(d, name="key")(x))
         v = heads(nn.Dense(d, name="value")(x))
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
         if attn_bias is not None:
             scores = scores + attn_bias
         probs = jax.nn.softmax(scores, axis=-1)

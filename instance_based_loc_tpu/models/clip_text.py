@@ -49,7 +49,7 @@ class _TextBlock(nn.Module):
         qkv = nn.DenseGeneral((3, c.num_heads, d_head), dtype=c.dtype,
                               name="qkv")(h)
         q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        attn = jnp.einsum("...qhd,...khd->...hqk", q / np.sqrt(d_head), k)
+        attn = jnp.einsum("...qhd,...khd->...hqk", q * (d_head ** -0.5), k)
         attn = jnp.where(causal_mask, attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1)
         o = jnp.einsum("...hqk,...khd->...qhd", attn, v)

@@ -156,7 +156,10 @@ class MultiheadAttention(nn.Module):
         q = split(nn.Dense(d, name="query")(queries), queries.shape[1])
         k = split(nn.Dense(d, name="key")(keys), keys.shape[1])
         v = split(nn.Dense(d, name="value")(values), values.shape[1])
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+        # dh ** -0.5 is a WEAK Python float: np.sqrt would be a strong f64
+        # scalar and silently promote bf16 scores (and everything downstream,
+        # incl. the fused vision stream) to f32 — see PERF.md bf16 audit
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * (dh ** -0.5)
         if attn_bias is not None:
             scores = scores + attn_bias
         probs = jax.nn.softmax(scores, axis=-1)
@@ -273,7 +276,10 @@ class DeformableAttention(nn.Module):
                    * 0.5)
         out = multi_scale_deformable_attention(value, self.spatial_shapes,
                                                loc, weights)
-        return nn.Dense(d, name="output_proj")(out)
+        # MSDA accumulates in f32 by design; return to the stream dtype so
+        # one deformable block doesn't promote every later layer (and their
+        # MSDA value gathers) to f32 in bf16 deployment
+        return nn.Dense(d, name="output_proj")(out.astype(queries.dtype))
 
 
 class DeformableLayer(nn.Module):
@@ -401,6 +407,12 @@ class GroundingDino(nn.Module):
             input_ids, text_allowed.astype(jnp.float32),
             jnp.zeros_like(input_ids), position_ids)
         text = nn.Dense(c.d_model, name="text_projection")(text)
+        # keep text in the deployment compute dtype: BERT runs f32 internally
+        # and an f32 `text` would promote the whole fusion encoder (and thus
+        # the MSDA value maps) back to f32 after the first fusion layer —
+        # measured as the dominant GDINO@800 cost (f32 gathers; PERF.md).
+        # No-op in f32 mode.
+        text = text.astype(c.backbone.dtype)
         t = text.shape[1]
 
         # --- backbone + multi-scale projections ---

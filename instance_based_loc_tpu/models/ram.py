@@ -79,7 +79,7 @@ class TagDecoderLayer(nn.Module):
             vh = nn.Dense(d, name=f"{prefix}_value")(x_kv).reshape(
                 b, -1, c.heads, dh)
             attn = jax.nn.softmax(
-                jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(dh), axis=-1)
+                jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * (dh ** -0.5), axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(b, -1, d)
             return nn.Dense(d, name=f"{prefix}_out")(out)
 

@@ -249,7 +249,7 @@ class TwoWayBlock(nn.Module):
             vh = nn.Dense(dim, name=f"{name}_v")(v).reshape(
                 *v.shape[:-1], heads, dim // heads)
             attn = jnp.einsum("...qhd,...khd->...hqk",
-                              qh / np.sqrt(dim // heads), kh)
+                              qh * ((dim // heads) ** -0.5), kh)
             attn = jax.nn.softmax(attn, axis=-1)
             o = jnp.einsum("...hqk,...khd->...qhd", attn, vh)
             o = o.reshape(*q.shape[:-1], dim)
@@ -316,7 +316,7 @@ class MaskDecoder(nn.Module):
         fv = nn.Dense(fdim, name="final_v")(img).reshape(
             m, -1, heads, fdim // heads)
         fattn = jax.nn.softmax(jnp.einsum(
-            "mqhd,mkhd->mhqk", fq / np.sqrt(fdim // heads), fk), axis=-1)
+            "mqhd,mkhd->mhqk", fq * ((fdim // heads) ** -0.5), fk), axis=-1)
         fout = jnp.einsum("mhqk,mkhd->mqhd", fattn, fv).reshape(
             m, tok.shape[1], fdim)
         tok = tok + nn.Dense(c.prompt_dim, name="final_out")(fout)
@@ -366,6 +366,11 @@ class Sam(nn.Module):
         emb = self.image_encoder(image[None])[0]
         prompts, dense_pe, no_mask = self.prompt_encoder(
             boxes_xyxy, self.cfg.img_size, self.cfg.grid)
+        # prompt PEs are computed from f32 coordinate grids; return them to
+        # the encoder stream dtype so one `image + image_pe` add doesn't
+        # promote the whole two-way decoder to f32 in bf16 deployment
+        prompts = prompts.astype(emb.dtype)
+        dense_pe = dense_pe.astype(emb.dtype)
         emb = emb + no_mask[None, None, :]   # dense "no mask" prompt
         masks, iou = self.mask_decoder(emb, dense_pe, prompts)
         return masks[:, 0], iou[:, 0]

@@ -83,7 +83,9 @@ class Attention(nn.Module):
                                   valid_len=jnp.int32(s))
             out = out[..., :s, :].swapaxes(-2, -3).astype(c.dtype)
         else:
-            scale = 1.0 / np.sqrt(d_head)
+            # weak Python float: np.sqrt is a strong f64 scalar and would
+            # promote the QK matmul off the bf16 MXU path
+            scale = d_head ** -0.5
             attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(c.dtype)
             out = jnp.einsum("...hqk,...khd->...qhd", attn, v)

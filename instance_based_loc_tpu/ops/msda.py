@@ -81,11 +81,17 @@ def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     hidx = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]   # (1,H,1,1)
     lin = jnp.stack([(yi * ww + xi) * h for (yi, xi, _) in taps],
                     axis=-1) + hidx                              # (Q,H,K,4)
-    wts = jnp.stack([w for (_, _, w) in taps], axis=-1)          # (Q,H,K,4)
+    # tap weights in the VALUE dtype: f32 weights (from the f32 sampling
+    # grid) would promote the whole sampled path to f32 and make XLA convert
+    # the value map BEFORE the gather — doubling the gather's HBM traffic in
+    # bf16 deployment (measured; PERF.md). No-op in f32 mode.
+    wts = jnp.stack([w for (_, _, w) in taps],
+                    axis=-1).astype(vmap_l.dtype)                # (Q,H,K,4)
     gathered = jnp.take(flat, lin.reshape(-1), axis=0)
-    gathered = gathered.reshape(q, h, k, 4, d).astype(jnp.float32)
+    gathered = gathered.reshape(q, h, k, 4, d)
     sampled = jnp.sum(gathered * wts[..., None], axis=-2)        # (Q,H,K,D)
-    return jnp.sum(sampled * attn_w[..., None], axis=-2)
+    return jnp.sum((sampled * attn_w.astype(sampled.dtype)[..., None])
+                   .astype(jnp.float32), axis=-2)
 
 
 def _level_matmul(vmap_l, loc, attn_w, hh: int, ww: int):
@@ -96,18 +102,23 @@ def _level_matmul(vmap_l, loc, attn_w, hh: int, ww: int):
     taps = _tap_index_weights(loc, hh, ww)
     iota = jnp.arange(s_l, dtype=jnp.int32)
 
+    vdt = vmap_l.dtype   # keep W and the contraction in the value dtype
+                         # (bf16 MXU in deployment; f32 accumulate below)
+
     def one_head(head):
         # 4 taps x K points = fused elementwise (Q, S_l) accumulations;
         # never materializes a (Q, K, S_l) intermediate
-        w_rows = jnp.zeros((q, s_l), jnp.float32)
+        w_rows = jnp.zeros((q, s_l), vdt)
         for (yi, xi, wgt) in taps:
             lin = (yi[:, head] * ww + xi[:, head]).astype(jnp.int32)
-            coeff = wgt[:, head] * attn_w[:, head]               # (Q,K)
+            coeff = (wgt[:, head] * attn_w[:, head]
+                     .astype(jnp.float32)).astype(vdt)           # (Q,K)
             for kk in range(k):
                 w_rows = w_rows + jnp.where(
                     lin[:, kk:kk + 1] == iota[None, :],
-                    coeff[:, kk:kk + 1], 0.0)
-        return w_rows @ vmap_l[:, head].astype(jnp.float32)      # (Q,D)
+                    coeff[:, kk:kk + 1], jnp.zeros((), vdt))
+        return jax.lax.dot(w_rows, vmap_l[:, head],
+                           preferred_element_type=jnp.float32)   # (Q,D)
 
     return jnp.stack([one_head(i) for i in range(h)], axis=1)
 
