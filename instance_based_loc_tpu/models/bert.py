@@ -29,6 +29,29 @@ class BertConfig:
     dtype: jnp.dtype = jnp.float32
 
 
+class OneHotEmbed(nn.Module):
+    """Embedding lookup lowered as one_hot(ids) @ table on the MXU.
+
+    XLA TPU stages the WHOLE table through slow memory for a tiny
+    `jnp.take` from a large operand — ~22 ms device for 16 rows of the
+    30522x768 bf16 BERT vocab table vs ~11 ms as a matmul
+    (perf/bert_embed_probe.py; the `%copy-start bf16[30522,768] S(1)`
+    pairs in perf/gdino_trace.py). Exact: each output row sums exactly one
+    nonzero term. Param path matches nn.Embed ("embedding") so porters are
+    unaffected."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param(
+            "embedding", nn.initializers.normal(0.02),
+            (self.num_embeddings, self.features))
+        oh = jax.nn.one_hot(ids, self.num_embeddings, dtype=table.dtype)
+        return oh @ table
+
+
 class BertLayer(nn.Module):
     cfg: BertConfig
 
@@ -75,8 +98,8 @@ class BertEncoder(nn.Module):
         if token_type_ids is None:
             token_type_ids = jnp.zeros((b, t), jnp.int32)
 
-        word = nn.Embed(c.vocab_size, c.hidden_size, name="word_embeddings")(
-            input_ids)
+        word = OneHotEmbed(c.vocab_size, c.hidden_size,
+                           name="word_embeddings")(input_ids)
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
                        name="position_embeddings")(position_ids)
         typ = nn.Embed(c.type_vocab_size, c.hidden_size,

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from instance_based_loc_tpu.models.bert import OneHotEmbed
+
 
 @dataclasses.dataclass(frozen=True)
 class ClipTextConfig:
@@ -72,7 +74,10 @@ class ClipTextEncoder(nn.Module):
         token id in a padded sequence)."""
         c = self.cfg
         b, l = token_ids.shape
-        emb = nn.Embed(c.vocab_size, c.hidden_size, name="token_embedding")(token_ids)
+        # one-hot-matmul lookup: XLA TPU stages the whole 49408-row table
+        # through slow memory for a tiny take (perf/bert_embed_probe.py)
+        emb = OneHotEmbed(c.vocab_size, c.hidden_size,
+                          name="token_embedding")(token_ids)
         pos = self.param("pos_embed", nn.initializers.normal(0.01),
                          (c.max_length, c.hidden_size))
         x = emb + pos[None, :l]

@@ -221,8 +221,61 @@ def msda_v5(value, spatial_shapes, sampling_locations, attention_weights):
     return out.reshape(b, q, h * d)
 
 
+@partial(jax.jit, static_argnames=("spatial_shapes",))
+def msda_v6(value, spatial_shapes, sampling_locations, attention_weights):
+    """Head-major x-pair gather: per level the table is reorganized to
+    (H, S_l, D) so the two x-adjacent bilinear taps of one row are adjacent
+    table rows and ride ONE (1, 2, D) slice — half the gathered slices of
+    the flat form at double the width. Two slice sets (y0 row, y1 row)."""
+    b, s, h, d = value.shape
+    _, q, _, l, k, _ = sampling_locations.shape
+    starts, acc = [], 0
+    for (hh, ww) in spatial_shapes:
+        starts.append(acc)
+        acc += hh * ww
+
+    out = jnp.zeros((q, h, d), jnp.float32)
+    for lvl, (hh, ww) in enumerate(spatial_shapes):
+        vmap_l = jax.lax.dynamic_slice_in_dim(
+            value, starts[lvl], hh * ww, axis=1)[0]            # (S,H,D)
+        vhm = vmap_l.swapaxes(0, 1)                            # (H,S,D)
+        loc = sampling_locations[0, :, :, lvl]                 # (Q,H,K,2)
+        x = loc[..., 0] * ww - 0.5
+        y = loc[..., 1] * hh - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx1 = x - x0
+        wy1 = y - y0
+        x0c = jnp.clip(x0, 0, ww - 2).astype(jnp.int32)
+        hgrid = jnp.broadcast_to(
+            jnp.arange(h, dtype=jnp.int32)[None, :, None], (q, h, k))
+        wx = [(1 - wx1) * ((x0 >= 0) & (x0 <= ww - 1)),
+              wx1 * ((x0 + 1 >= 0) & (x0 + 1 <= ww - 1))]
+        colw = [sum(wx[bb] * (x0 + bb == x0c + bp) for bb in (0, 1))
+                for bp in (0, 1)]                              # 2x (Q,H,K)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1))
+        sampled = jnp.zeros((q, h, k, d), jnp.float32)
+        for a, wrow in ((0, (1 - wy1) * ((y0 >= 0) & (y0 <= hh - 1))),
+                        (1, wy1 * ((y0 + 1 >= 0) & (y0 + 1 <= hh - 1)))):
+            yi = jnp.clip(y0 + a, 0, hh - 1).astype(jnp.int32)
+            idx = jnp.stack([hgrid, yi * ww + x0c], axis=-1).reshape(-1, 2)
+            pairs = jax.lax.gather(
+                vhm, idx, dn, slice_sizes=(1, 2, d),
+                mode=jax.lax.GatherScatterMode.CLIP)
+            pairs = pairs.reshape(q, h, k, 2, d).astype(jnp.float32)
+            sampled = sampled + wrow[..., None] * (
+                pairs[:, :, :, 0] * colw[0][..., None]
+                + pairs[:, :, :, 1] * colw[1][..., None])
+        w_l = attention_weights[0, :, :, lvl]                  # (Q,H,K)
+        out = out + jnp.sum(sampled * w_l[..., None], axis=-2)
+    return out.reshape(b, q, h * d)
+
+
 VARIANTS = {"v0": multi_scale_deformable_attention,
-            "v1": msda_v1, "v2": msda_v2, "v3": msda_v3, "v5": msda_v5}
+            "v1": msda_v1, "v2": msda_v2, "v3": msda_v3, "v5": msda_v5,
+            "v6": msda_v6}
 
 
 def make_inputs(rng, shapes, q, h=8, k=4, d=32, dtype=jnp.bfloat16):
@@ -238,12 +291,12 @@ def make_inputs(rng, shapes, q, h=8, k=4, d=32, dtype=jnp.bfloat16):
     return value, loc, w
 
 
-def parity():
+def parity(names=("v1", "v2", "v3", "v5", "v6")):
     shapes = ((10, 12), (5, 6), (3, 3))
     value, loc, w = make_inputs(jax.random.PRNGKey(0), shapes, q=40,
                                 dtype=jnp.float32)
     ref = np.asarray(VARIANTS["v0"](value, shapes, loc, w))
-    for name in ("v1", "v2", "v3", "v5"):
+    for name in names:
         got = np.asarray(VARIANTS[name](value, shapes, loc, w))
         err = np.abs(got - ref).max()
         print(f"parity {name}: max|diff|={err:.2e}", flush=True)
@@ -262,14 +315,15 @@ def timeit(name, fn, args, n=8):
 
 
 def main():
-    parity()
+    only = sys.argv[1].split(",") if len(sys.argv) > 1 else list(VARIANTS)
+    parity([n for n in only if n != "v0"])
     enc_shapes = ((100, 100), (50, 50), (25, 25), (13, 13))
     s = sum(hh * ww for hh, ww in enc_shapes)
     for tag, q in (("encoder q=S", s), ("decoder q=900", 900)):
         value, loc, w = make_inputs(jax.random.PRNGKey(1), enc_shapes, q)
         print(f"-- {tag} --", flush=True)
-        for name, fn in VARIANTS.items():
-            timeit(f"{name} {tag}", fn,
+        for name in only:
+            timeit(f"{name} {tag}", VARIANTS[name],
                    (value, enc_shapes, loc, w))
 
 
