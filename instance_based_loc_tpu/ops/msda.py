@@ -86,12 +86,21 @@ def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     # the value map BEFORE the gather — doubling the gather's HBM traffic in
     # bf16 deployment (measured; PERF.md). No-op in f32 mode.
     wts = jnp.stack([w for (_, _, w) in taps],
-                    axis=-1).astype(vmap_l.dtype)                # (Q,H,K,4)
+                    axis=-1)                                     # (Q,H,K,4)
     gathered = jnp.take(flat, lin.reshape(-1), axis=0)
     gathered = gathered.reshape(q, h, k, 4, d)
-    sampled = jnp.sum(gathered * wts[..., None], axis=-2)        # (Q,H,K,D)
-    return jnp.sum((sampled * attn_w.astype(sampled.dtype)[..., None])
-                   .astype(jnp.float32), axis=-2)
+    # ONE fused pass: fold the bilinear tap weights and the attention
+    # weights into a single per-term coefficient and reduce over all
+    # (K, 4) terms at once with f32 register accumulation. The previous
+    # two-stage form (tap-lerp, then K-reduce via an f32 intermediate)
+    # cost ~35 ms/forward of VPU f32 elementwise at GDINO@800
+    # (perf/gdino_trace.py buckets f32[1,13294,8,32] + bare multiplies);
+    # a single sum also accumulates BETTER (all 16 terms in f32 instead
+    # of 4-term bf16 partial sums).
+    coeff = (wts * attn_w.astype(wts.dtype)[..., None]).astype(
+        vmap_l.dtype)                                            # (Q,H,K,4)
+    prod = gathered * coeff[..., None]                           # bf16
+    return jnp.sum(prod.astype(jnp.float32), axis=(2, 3))        # (Q,H,D)
 
 
 def _level_matmul(vmap_l, loc, attn_w, hh: int, ww: int):
