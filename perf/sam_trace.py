@@ -1,0 +1,51 @@
+"""Profile a single SAM-B@1024 forward (8 box prompts) on the tunneled chip
+and dump a jax.profiler trace for per-op analysis — where do the ~65 ms go
+(encoder windows vs global blocks vs neck vs two-way decoder)?
+
+Run: python perf/sam_trace.py [outdir=/tmp/trace_sam]
+"""
+
+import os
+import sys
+import time
+import dataclasses
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from instance_based_loc_tpu.models.sam import Sam, SamConfig
+from instance_based_loc_tpu.models.precision import (resolve_compute_dtype,
+                                                     cast_params)
+
+
+def main():
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_sam"
+    cdt = resolve_compute_dtype()
+    rng = jax.random.PRNGKey(0)
+    cfg = SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
+                    global_blocks=(2, 5, 8, 11))
+    sam = Sam(cfg)
+    img = jnp.zeros((cfg.img_size, cfg.img_size, 3), cdt)
+    boxes = jnp.zeros((8, 4), jnp.float32)
+    params = cast_params(sam.init(rng, img, boxes), cdt)
+    apply = jax.jit(sam.apply)
+
+    def sync(out):
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+
+    sync(apply(params, img, boxes))
+    t0 = time.perf_counter()
+    sync(apply(params, img, boxes))
+    print(f"warm forward: {(time.perf_counter() - t0) * 1000:.1f} ms",
+          flush=True)
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            sync(apply(params, img, boxes))
+    print(f"trace written to {outdir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
