@@ -44,7 +44,8 @@ def bench_neural_path():
     model = ViT(cfg)
     rng = jax.random.PRNGKey(0)
     crops_per_frame = 8
-    params = None
+    params = cast_params(
+        model.init(rng, jnp.zeros((1, 224, 224, 3), cdt)), cdt)
 
     @jax.jit
     def embed(params, x):
@@ -58,9 +59,6 @@ def bench_neural_path():
     best_fps, best_cfg = 0.0, 4
     for frames_per_call in (4, 16):
         x = jnp.zeros((frames_per_call * crops_per_frame, 224, 224, 3), cdt)
-        if params is None:
-            params = cast_params(
-                model.init(rng, jnp.zeros((1, 224, 224, 3), cdt)), cdt)
         np.asarray(embed(params, x)[0].ravel()[0])  # compile
         n_calls = max(2, 32 // frames_per_call)
         n = n_calls * frames_per_call
@@ -196,16 +194,11 @@ def bench_e2e():
     for rgb, depth, _ in eval_frames:
         memory.localise(rgb, depth, outlier_removal_config=None)
 
-    memory.timer.totals.clear()
-    memory.timer.counts.clear()
-    # throughput mode: chunked-batched + overlapped serving — frames run in
-    # chunks of 6 through ONE vmapped device program per chunk (amortizing
-    # the per-program launch/fetch overhead, ~25 ms over the axon tunnel)
-    # while a consumer thread hides host prep under device execution.
-    # Measured on the tunneled chip (perf/serving_modes.py, with the u16
-    # depth upload + fused NN min): chunk6 31.7, chunk4 31.5, single-frame
-    # pipelined 36.8, vmap-all-12 51.2 ms/frame.
-    # Results are bit-identical to single-frame serving (parity test in
+    # throughput mode: chunked-batched + overlapped serving — chunks of G
+    # frames run as ONE vmapped device program (amortizing the per-program
+    # launch/fetch overhead, ~25 ms over the axon tunnel) while a consumer
+    # thread hides host prep under device execution. Results are
+    # bit-identical to single-frame serving (parity test in
     # tests/test_memory_misc.py).
     # steady-state stream: 72 frames, chunk size auto-tuned over {6, 12}
     # (perf/steady_state.py: a 12-frame stream is 1/3 pipeline fill/drain;
@@ -222,7 +215,14 @@ def bench_e2e():
     # noise (each chunk size's first pass also pays its program compile)
     fps = 0.0
     elapsed = 0.0
+    best_report = ""
     for batch in (6, 12):
+        # per-config timer so the printed stage table is attributable to
+        # the chunk size the JSON line reports (still includes that
+        # config's compile pass)
+        memory.timer.totals.clear()
+        memory.timer.counts.clear()
+        best_this = False
         for _ in range(3):
             t0 = time.perf_counter()
             memory.localise_many(stream, batch=batch,
@@ -231,9 +231,13 @@ def bench_e2e():
             if fps < n_runs / dt:
                 fps = n_runs / dt
                 elapsed = dt
+                best_this = True
+        if best_this:
+            best_report = (f"(serving config: batch={batch}, 3 passes incl. "
+                           f"compile)\n" + memory.timer.report())
 
     print("--- e2e localisation stage breakdown ---")
-    print(memory.timer.report())
+    print(best_report)
     print(f"--- total {elapsed / n_runs * 1000:.1f} ms/frame over {n_runs} frames ---")
     return fps
 

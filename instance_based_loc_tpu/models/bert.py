@@ -48,8 +48,15 @@ class OneHotEmbed(nn.Module):
         table = self.param(
             "embedding", nn.initializers.normal(0.02),
             (self.num_embeddings, self.features))
+        # clip like jnp.take/nn.Embed (out-of-range ids -> last row), not
+        # one_hot's silent zero row
+        ids = jnp.clip(ids, 0, self.num_embeddings - 1)
         oh = jax.nn.one_hot(ids, self.num_embeddings, dtype=table.dtype)
-        return oh @ table
+        # HIGHEST precision: with an f32 table the default TPU matmul
+        # precision would run bf16 MXU passes and break f32-mode parity
+        # with jnp.take; exactness of the lookup must not depend on the
+        # precision flag of the surrounding program
+        return jnp.dot(oh, table, precision=jax.lax.Precision.HIGHEST)
 
 
 class BertLayer(nn.Module):

@@ -81,22 +81,21 @@ def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     hidx = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]   # (1,H,1,1)
     lin = jnp.stack([(yi * ww + xi) * h for (yi, xi, _) in taps],
                     axis=-1) + hidx                              # (Q,H,K,4)
-    # tap weights in the VALUE dtype: f32 weights (from the f32 sampling
-    # grid) would promote the whole sampled path to f32 and make XLA convert
-    # the value map BEFORE the gather — doubling the gather's HBM traffic in
-    # bf16 deployment (measured; PERF.md). No-op in f32 mode.
     wts = jnp.stack([w for (_, _, w) in taps],
-                    axis=-1)                                     # (Q,H,K,4)
+                    axis=-1)                                     # f32 (Q,H,K,4)
     gathered = jnp.take(flat, lin.reshape(-1), axis=0)
     gathered = gathered.reshape(q, h, k, 4, d)
     # ONE fused pass: fold the bilinear tap weights and the attention
     # weights into a single per-term coefficient and reduce over all
     # (K, 4) terms at once with f32 register accumulation. The previous
-    # two-stage form (tap-lerp, then K-reduce via an f32 intermediate)
-    # cost ~35 ms/forward of VPU f32 elementwise at GDINO@800
-    # (perf/gdino_trace.py buckets f32[1,13294,8,32] + bare multiplies);
-    # a single sum also accumulates BETTER (all 16 terms in f32 instead
-    # of 4-term bf16 partial sums).
+    # two-stage form (tap-lerp in the value dtype, then K-reduce via an
+    # f32 intermediate) cost ~35 ms/forward of VPU f32 elementwise at
+    # GDINO@800 (perf/gdino_trace.py buckets f32[1,13294,8,32] + bare
+    # multiplies). bf16-deployment tradeoff vs that form: per-term
+    # products round to bf16 before the f32 sum (the old form multiplied
+    # the K-stage in f32), but all 16 terms now accumulate in f32 instead
+    # of 4-term bf16 partial sums; parity suites and quality gates were
+    # re-run green at both precisions.
     coeff = (wts * attn_w.astype(wts.dtype)[..., None]).astype(
         vmap_l.dtype)                                            # (Q,H,K,4)
     prod = gathered * coeff[..., None]                           # bf16

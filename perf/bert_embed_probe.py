@@ -47,7 +47,10 @@ def main():
     p32 = enc.init(rng, ids)
     pbf = cast_params(p32, jnp.bfloat16)
 
-    timeit("bert16tok bf16 (take)", jax.jit(enc.apply), pbf, ids)
+    # NOTE: BertEncoder now uses OneHotEmbed (the change this probe
+    # motivated), so this measures the CURRENT encoder path; the take
+    # baseline survives in the isolated-lookup comparisons below.
+    timeit("bert16tok bf16 (current)", jax.jit(enc.apply), pbf, ids)
 
     # isolated lookup lowerings on the raw table
     table = pbf["params"]["word_embeddings"]["embedding"]
