@@ -81,9 +81,10 @@ def bench_neural_path():
 
 def bench_neural_cascade():
     """Throughput of the FULL perception cascade as one frame's neural work
-    (SURVEY.md §3 hot loop 1): RAM tagging (Swin-L @384), GroundingDINO
-    multi-phrase grounding (Swin-T pyramid + BERT text + fusion encoder +
-    decoder @800) and SAM segmentation (ViT-B @1024, 8 box prompts).
+    (SURVEY.md §3 hot loop 1), at the reference's deployment scale: RAM
+    tagging (Swin-L @384), GroundingDINO multi-phrase grounding (SwinB
+    pyramid + BERT text + fusion encoder + decoder @800) and SAM ViT-H
+    segmentation (@1024, 8 box prompts).
     Random weights — identical FLOPs/shapes to the ported checkpoints.
     Each stage is dispatched back-to-back per frame (the serving order) and
     synced once per frame, matching how the cascade drives the device."""
@@ -129,8 +130,11 @@ def bench_neural_cascade():
     gd_params = cast_params(gdino.init(rng, *gd_args), cdt)
     gd_apply = jax.jit(gdino.apply)
 
-    sam_cfg = SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
-                        global_blocks=(2, 5, 8, 11))
+    # reference deployment scale: SAM ViT-H (sam_vit_h_4b8939,
+    # /root/reference/object_memory/object_finder.py:116) — SamConfig's
+    # default. ~150 ms/frame on the tunneled chip vs ~65 for SAM-B
+    # (PERF.md); the metric reports the reference-parity configuration.
+    sam_cfg = SamConfig()
     sam = Sam(sam_cfg)
     n_boxes = 8
     sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), cdt)
@@ -158,7 +162,7 @@ def bench_neural_cascade():
     print(json.dumps({
         "metric": "cascade_frames_per_sec",
         "value": round(fps, 3),
-        "unit": f"frames/sec (RAM@384 + GDINO@800 + SAM-B@1024, 8 boxes, "
+        "unit": f"frames/sec (RAM Swin-L@384 + GDINO SwinB@800 + SAM-H@1024, 8 boxes, "
                 f"{cdt_name})",
         "vs_baseline": None,
     }))
@@ -307,7 +311,7 @@ def main():
     })
     print(e2e_line, flush=True)
     bench_neural_path()
-    if not cpu_fallback:   # SAM-B@1024 + GDINO@800 are not a CPU workload
+    if not cpu_fallback:   # SAM-H@1024 + GDINO@800 are not a CPU workload
         bench_neural_cascade()
     # reprint: the driver parses the LAST line
     print(e2e_line)

@@ -78,16 +78,25 @@ def main():
     del gd_params
 
     n_boxes = 8
-    for pallas in (False, True):
-        sam_cfg = SamConfig(encoder_dim=768, encoder_depth=12,
+    sam_variants = [
+        ("sam-b@1024", dict(encoder_dim=768, encoder_depth=12,
                             encoder_heads=12, global_blocks=(2, 5, 8, 11),
-                            use_pallas_attention=pallas)
+                            use_pallas_attention=False)),
+        ("sam-b@1024+pallas", dict(encoder_dim=768, encoder_depth=12,
+                                   encoder_heads=12,
+                                   global_blocks=(2, 5, 8, 11))),
+        # the reference's deployment scale (sam_vit_h_4b8939): ViT-H —
+        # SamConfig's defaults; this is the size bench.py's cascade
+        # metric reports
+        ("sam-h@1024", dict()),
+    ]
+    for tag, overrides in sam_variants:
+        sam_cfg = SamConfig(**overrides)
         sam = Sam(sam_cfg)
         sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), cdt)
         sam_boxes = jnp.zeros((n_boxes, 4), jnp.float32)
         sam_params = cast_params(sam.init(rng, sam_img, sam_boxes), cdt)
         sam_apply = jax.jit(sam.apply)
-        tag = "sam-b@1024" + ("+pallas" if pallas else "")
         bench(tag, lambda i: sam_apply(sam_params, sam_img + i, sam_boxes))
         del sam_params
 
