@@ -1,8 +1,11 @@
-"""Profile a single SAM-B@1024 forward (8 box prompts) on the tunneled chip
-and dump a jax.profiler trace for per-op analysis — where do the ~65 ms go
+"""Profile a single SAM forward (8 box prompts) on the tunneled chip and
+dump a jax.profiler trace for per-op analysis — where does the time go
 (encoder windows vs global blocks vs neck vs two-way decoder)?
 
-Run: python perf/sam_trace.py [outdir=/tmp/trace_sam]
+Run: python perf/sam_trace.py [outdir=/tmp/trace_sam] [variant=b|h]
+`h` is the reference deployment scale (sam_vit_h_4b8939) that bench.py's
+cascade metric reports (~150 ms/frame wall vs a ~30 ms MXU floor for its
+5.6 bf16 TFLOPs).
 """
 
 import os
@@ -23,10 +26,14 @@ from instance_based_loc_tpu.models.precision import (resolve_compute_dtype,
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/trace_sam"
+    variant = sys.argv[2] if len(sys.argv) > 2 else "b"
     cdt = resolve_compute_dtype()
     rng = jax.random.PRNGKey(0)
-    cfg = SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
-                    global_blocks=(2, 5, 8, 11))
+    if variant == "h":
+        cfg = SamConfig()           # ViT-H defaults
+    else:
+        cfg = SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
+                        global_blocks=(2, 5, 8, 11))
     sam = Sam(cfg)
     img = jnp.zeros((cfg.img_size, cfg.img_size, 3), cdt)
     boxes = jnp.zeros((8, 4), jnp.float32)
