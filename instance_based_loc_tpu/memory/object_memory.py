@@ -175,6 +175,13 @@ class ObjectMemory:
         # many-objects batching replaces sequence parallelism here).
         self.mesh = mesh
         self.mem_axis = mem_axis
+        # optional jax.sharding.Mesh for SPMD batch serving: localise_many
+        # chunks shard their query-stacked buffers over "data" while the
+        # (read-only at serve time) object memory replicates — each device
+        # runs the identical single-query program on its shard with zero
+        # collectives (parallel/serving.py). Mutually exclusive with `mesh`
+        # (which instead shards the memory itself over `mem_axis`).
+        self.serving_mesh = None
 
         self.memory: list[ObjectInfo] = []
         self.floors: ObjectInfo | None = None
@@ -705,10 +712,16 @@ class ObjectMemory:
             np.stack([hosts[i]["qbytes"] for i in take]))
         keys = jnp.stack([jax.random.PRNGKey(hosts[i]["frame_id"])
                           for i in take])
+        mem_args, scalars = h0["mem_args"], h0["scalars"]
+        if self.serving_mesh is not None:
+            from ..parallel.serving import place_sharded
+            bufs, byte_bufs, keys, mem_args, scalars = place_sharded(
+                self.serving_mesh, bufs, byte_bufs, keys, mem_args,
+                scalars, cache=h0["pack"])
         hh, ww, d_pad, e_dim = h0["dims"]
         with self.timer.stage("loc.device"):
             packed = batched_fn(
-                bufs, byte_bufs, *h0["mem_args"], *h0["scalars"], keys,
+                bufs, byte_bufs, *mem_args, *scalars, keys,
                 h=hh, w=ww, d_pad=d_pad, e_dim=e_dim,
                 keep_debug=h0["keep_debug"], **h0["statics"])
         return {"packed": packed, "idxs": list(idxs),

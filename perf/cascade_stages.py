@@ -75,6 +75,14 @@ def main():
     gd_apply = jax.jit(gdino.apply)
     bench("gdino@800", lambda i: gd_apply(gd_params, gd_args[0] + i,
                                           *gd_args[1:]))
+    # frame-batched grounding: does stacking F frames in one program raise
+    # MXU utilization (amortizing per-op overhead at batch 1)?
+    for f in (2, 4):
+        gdb = tuple(jnp.concatenate([a] * f, 0) for a in gd_args)
+        dt = bench(f"gdino@800 x{f}",
+                   lambda i, gdb=gdb: gd_apply(gd_params, gdb[0] + i,
+                                               *gdb[1:]))
+        print(f"{'':18s} {dt / f:8.1f} ms/frame amortized", flush=True)
     del gd_params
 
     n_boxes = 8
@@ -98,6 +106,18 @@ def main():
         sam_params = cast_params(sam.init(rng, sam_img, sam_boxes), cdt)
         sam_apply = jax.jit(sam.apply)
         bench(tag, lambda i: sam_apply(sam_params, sam_img + i, sam_boxes))
+        if tag == "sam-h@1024":
+            # frame-batched segmentation (vmap over frames, same boxes/frame
+            # capacity): the serving lever for chunked localise_many
+            vapply = jax.jit(jax.vmap(sam.apply, in_axes=(None, 0, 0)))
+            for f in (2, 4):
+                imgs = jnp.stack([sam_img] * f)
+                boxes = jnp.stack([sam_boxes] * f)
+                dt = bench(f"{tag} x{f}",
+                           lambda i, imgs=imgs, boxes=boxes: vapply(
+                               sam_params, imgs + i, boxes))
+                print(f"{'':18s} {dt / f:8.1f} ms/frame amortized",
+                      flush=True)
         del sam_params
 
 
