@@ -173,18 +173,41 @@ def main(args, detector=None):
         build_memory(args, memory, dataloader, outlier_cfg,
                      recluster="clustering_and_IoU")
 
+    loc_kwargs = dict(
+        outlier_removal_config=localise_outlier_cfg,
+        fpfh_global_dist_factor=args.fpfh_global_dist_factor,
+        fpfh_local_dist_factor=args.fpfh_local_dist_factor,
+        fpfh_voxel_size=args.fpfh_voxel_size,
+        depth_factor=depth_factor)
+
     trans_errors, rot_errors, assignments, preds, tgts = [], [], [], [], []
-    for idx in args.eval_img_inds:
-        rgb_path, depth_path, target_pose = dataloader.get_image_data(idx)
-        estimated_pose, assn = memory.localise(
-            rgb_path, depth_path,
-            testname=args.testname, subtest_name=str(idx),
-            save_point_clouds=args.save_point_clouds,
-            outlier_removal_config=localise_outlier_cfg,
-            fpfh_global_dist_factor=args.fpfh_global_dist_factor,
-            fpfh_local_dist_factor=args.fpfh_local_dist_factor,
-            fpfh_voxel_size=args.fpfh_voxel_size,
-            depth_factor=depth_factor)
+    frames_meta = [dataloader.get_image_data(idx) for idx in args.eval_img_inds]
+    if args.serve_batch > 1:
+        # throughput serving mode: chunks of G queries run as ONE vmapped
+        # device program (bench.py's e2e serving configuration); with
+        # --serve-data-axis N each chunk additionally shards over the mesh
+        # "data" axis — SPMD multi-chip serving (parallel/serving.py).
+        # Per-frame debug ply dumps are a latency-mode feature.
+        if args.save_point_clouds:
+            raise SystemExit("--save-point-clouds requires latency-mode "
+                             "serving; drop --serve-batch")
+        if args.serve_data_axis > 1:
+            from ..parallel import make_mesh
+            memory.serving_mesh = make_mesh(n_data=args.serve_data_axis,
+                                            n_model=1)
+        results = memory.localise_many(
+            [(rgb, depth) for rgb, depth, _ in frames_meta],
+            batch=args.serve_batch, **loc_kwargs)
+    else:
+        results = []
+        for idx, (rgb_path, depth_path, _) in zip(args.eval_img_inds,
+                                                  frames_meta):
+            results.append(memory.localise(
+                rgb_path, depth_path,
+                testname=args.testname, subtest_name=str(idx),
+                save_point_clouds=args.save_point_clouds, **loc_kwargs))
+    for idx, (_, _, target_pose), (estimated_pose, assn) in zip(
+            args.eval_img_inds, frames_meta, results):
         te, re_ = pose_errors(target_pose, estimated_pose)
         print(f"Localisation {idx}: trans={te:.3f} rot={re_:.3f} "
               f"{'SUCCESS' if is_success(te, re_) else 'MISALIGNED'}")
@@ -249,6 +272,14 @@ def make_parser():
     p.add_argument("--fpfh-voxel-size", type=float, default=None)
     p.add_argument("--no-outlier-removal", action="store_true",
                    help="disable radius outlier filtering (coarse synthetic depth)")
+    p.add_argument("--serve-batch", type=int, default=1,
+                   help="serve eval queries in chunks of G through one "
+                        "vmapped device program (throughput mode; 1 = "
+                        "latency mode)")
+    p.add_argument("--serve-data-axis", type=int, default=1,
+                   help="with --serve-batch: shard each chunk over an "
+                        "N-device mesh data axis (SPMD multi-chip serving); "
+                        "--serve-batch must be a multiple of N")
     p.add_argument("--quiet", action="store_true")
     return p
 

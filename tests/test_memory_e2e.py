@@ -212,3 +212,43 @@ def test_localisation_trial_cli(tmp_path):
     assert (tmp_path / "mem.pkl").exists()
     assert trans_errors[0] < 0.6 and rot_errors[0] < 0.3, (
         trans_errors, rot_errors)
+
+
+def test_localisation_trial_cli_serving_mode(tmp_path):
+    """The trial CLI's throughput serving mode: --serve-batch chunks eval
+    queries through one vmapped device program and --serve-data-axis shards
+    each chunk over the mesh "data" axis (SPMD multi-chip serving on the
+    8-device virtual CPU mesh). Same data/flags as the latency-mode CLI
+    test; the serving path must reach the same success gate."""
+    from instance_based_loc_tpu.data.synthetic import (write_tum_dataset,
+                                                       default_scene)
+    from instance_based_loc_tpu.cli.localisation_trial import (
+        main, make_parser, apply_convention_defaults)
+
+    scene = default_scene(num_objects=4, seed=5)
+    data = str(tmp_path / "tum")
+    # 12 views so holding out 4 eval poses still leaves 8 build views of
+    # ring coverage (with only 3 build views every query misses its basin
+    # in latency mode too — the gate below needs a well-built memory)
+    write_tum_dataset(data, scene=scene, n_views=12, height=120, width=160,
+                      focal_length=150.0)
+    args = apply_convention_defaults(make_parser().parse_args([
+        "--convention", "tum", "--data-path", data,
+        "--embeddings", "color", "--detector", "color",
+        "-e", "3", "5", "7", "9", "--consider-floor", "--min-points", "150",
+        "--no-outlier-removal", "--focal-length", "150",
+        "--sampling-period", "1",
+        "--downsample-voxel-size", "0.02", "--dbscan-eps", "0.1",
+        "--dbscan-min-points", "40",
+        "--fpfh-global-dist-factor", "2.0",
+        "--fpfh-local-dist-factor", "0.4",
+        "--serve-batch", "4", "--serve-data-axis", "4",
+        "--out-dir", str(tmp_path / "out"),
+        "--testname", "cli_serve", "--quiet"]))
+    detector = ColorRegionDetector(min_area=80,
+                                   floor_colors=[scene.floor_color])
+    trans_errors, rot_errors = main(args, detector=detector)
+    assert (tmp_path / "out" / "cli_serve_results.txt").exists()
+    ok = sum(t < 0.6 and r < 0.3
+             for t, r in zip(trans_errors, rot_errors))
+    assert ok >= 3, (trans_errors, rot_errors)
