@@ -18,6 +18,7 @@ regressions are attributable.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -142,11 +143,30 @@ def bench_neural_cascade():
     sam_params = cast_params(sam.init(rng, sam_img, sam_boxes), cdt)
     sam_apply = jax.jit(sam.apply)
 
-    def frame(i):
-        t = ram_apply(ram_params, ram_in + i)
-        g = gd_apply(gd_params, gd_args[0] + i, *gd_args[1:])
-        s = sam_apply(sam_params, sam_img + i, sam_boxes)
-        return t, g, s
+    # opt-in chunked cascade serving (IBL_CASCADE_CHUNK=F): RAM batches F
+    # frames and SAM vmaps over F frames per program — SAM-H measured
+    # 149.8 -> 111.0 ms/frame amortized at F=4 (perf/cascade_batch_probe.py,
+    # PERF.md); GroundingDINO stays one dispatch per frame (true-batching
+    # it measured neutral). Default 1 = per-frame serving.
+    chunk = max(1, int(os.environ.get("IBL_CASCADE_CHUNK", "1")))
+    if chunk > 1:
+        ram_in_c = jnp.concatenate([ram_in] * chunk, 0)
+        sam_imgs = jnp.stack([sam_img] * chunk)
+        sam_boxes_c = jnp.stack([sam_boxes] * chunk)
+        sam_vapply = jax.jit(jax.vmap(sam.apply, in_axes=(None, 0, 0)))
+
+        def frame(i):
+            t = ram_apply(ram_params, ram_in_c + i)
+            g = [gd_apply(gd_params, gd_args[0] + i + f, *gd_args[1:])
+                 for f in range(chunk)]
+            s = sam_vapply(sam_params, sam_imgs + i, sam_boxes_c)
+            return t, g, s
+    else:
+        def frame(i):
+            t = ram_apply(ram_params, ram_in + i)
+            g = gd_apply(gd_params, gd_args[0] + i, *gd_args[1:])
+            s = sam_apply(sam_params, sam_img + i, sam_boxes)
+            return t, g, s
 
     outs = frame(0)                                   # compile
     jax.block_until_ready(outs)
@@ -157,13 +177,14 @@ def bench_neural_cascade():
         outs = frame(i)
     np.asarray(outs[0].ravel()[0])                    # executes in order
     jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / (n * chunk)
     fps = 1.0 / dt
     print(json.dumps({
         "metric": "cascade_frames_per_sec",
         "value": round(fps, 3),
         "unit": f"frames/sec (RAM Swin-L@384 + GDINO SwinB@800 + SAM-H@1024, 8 boxes, "
-                f"{cdt_name})",
+                f"{cdt_name}"
+                + (f", chunk={chunk}" if chunk > 1 else "") + ")",
         "vs_baseline": None,
     }))
     return fps
