@@ -714,6 +714,12 @@ class ObjectMemory:
                           for i in take])
         mem_args, scalars = h0["mem_args"], h0["scalars"]
         if self.serving_mesh is not None:
+            if self.mesh is not None:
+                raise ValueError(
+                    "serving_mesh (queries shard, memory replicates) and "
+                    "mesh (memory shards over mem_axis) are mutually "
+                    "exclusive — the packed memory buffers already carry "
+                    f"{self.mem_axis!r}-sharded placements")
             from ..parallel.serving import place_sharded
             bufs, byte_bufs, keys, mem_args, scalars = place_sharded(
                 self.serving_mesh, bufs, byte_bufs, keys, mem_args,

@@ -132,3 +132,27 @@ def test_sharded_serving_rejects_bad_chunk_size():
     with pytest.raises(ValueError, match="multiple"):
         memory.localise_many([(frames[4][0], frames[4][1])] * 6, batch=6,
                              outlier_removal_config=None)
+
+
+def test_serving_mesh_exclusive_with_sharded_memory():
+    """serving_mesh (queries shard, memory replicates) and mesh (memory
+    shards over mem_axis) are mutually exclusive placements."""
+    focal, h, w = 200.0, 96, 128
+    scene = default_scene(num_objects=3, seed=2)
+    poses = ring_poses(6, radius=4.0, height=1.2, target=(0, 0.4, 0))
+    frames = [render_scene(scene, p, h, w, focal) for p in poses]
+    detector = ColorRegionDetector(min_area=50,
+                                   floor_colors=[scene.floor_color])
+    mesh = make_mesh(n_data=8, n_model=1)
+    memory = ObjectMemory(detector=detector, camera_focal_lenth_x=focal,
+                          camera_focal_lenth_y=focal,
+                          get_embeddings_func=get_embedder("color"),
+                          log_enabled=False, mesh=mesh, mem_axis="data")
+    for i in range(4):
+        rgb, depth, _ = frames[i]
+        memory.process_image(rgb, depth, poses[i], consider_floor=True,
+                             min_points=100, outlier_removal_config=None)
+    memory.serving_mesh = mesh
+    with pytest.raises(ValueError, match="mutually"):
+        memory.localise_many([(frames[4][0], frames[4][1])] * 8, batch=8,
+                             outlier_removal_config=None)
