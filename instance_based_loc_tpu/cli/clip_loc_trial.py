@@ -59,7 +59,10 @@ def main(args, query_detector=None, memory_detector=None):
         memory_detector = (build_detector(args) if args.detector != "class"
                            else build_detector(argparse.Namespace(
                                **{**vars(args), "detector": "color"})))
-    embed = get_embedder(args.embeddings)
+    embed = get_embedder(args.embeddings,
+                         **({"checkpoint_path": args.embedder_checkpoint}
+                            if getattr(args, "embedder_checkpoint", None)
+                            else {}))
 
     dataloader = RGBDDataset(
         data_path=args.data_path,

@@ -74,7 +74,6 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
     from ..config import load_config
     from ..parallel.mesh import make_mesh, shard_batch
     from ..models.dator.data import PKSampler, scan_instance_dirs
@@ -108,18 +107,28 @@ def main(argv=None):
             t0 = time.time()
             batches = sampler.epoch_batches(epoch)
             losses = []
+            # Pipelined stepping: fetching the loss synchronously every step
+            # serializes host batch prep against device execution (and pays
+            # the tunnel round-trip per step). Keep a small window of
+            # in-flight steps and only materialize the oldest one's loss —
+            # batch i+1 loads/uploads while steps i-3..i execute.
+            pending = []
             for bi, batch_idxs in enumerate(batches):
                 rgb, depth, pids = sampler.load_batch(
                     batch_idxs, cfg.data.height, cfg.data.width,
                     quantize=cfg.data.quantize_upload)
-                rgb_s, depth_s, pids_s = shard_batch(
-                    mesh, (jnp.asarray(rgb), jnp.asarray(depth),
-                           jnp.asarray(pids)))
+                # numpy straight into device_put: one host->device transfer
+                # with the target sharding (jnp.asarray first would upload to
+                # the default device and then re-place)
+                rgb_s, depth_s, pids_s = shard_batch(mesh, (rgb, depth, pids))
                 state, metrics = step_fn(state, rgb_s, depth_s, pids_s,
                                          jax.random.fold_in(
                                              jax.random.PRNGKey(1),
                                              epoch * 10000 + bi))
-                losses.append(float(metrics["loss"]))
+                pending.append(metrics["loss"])
+                if len(pending) > 4:
+                    losses.append(float(pending.pop(0)))
+            losses.extend(float(l) for l in pending)
             dt = time.time() - t0
             sps = len(batches) * cfg.data.batch_size / max(dt, 1e-9)
             print(f"epoch {epoch}: loss={np.mean(losses):.4f} "

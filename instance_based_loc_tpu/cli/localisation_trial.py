@@ -130,7 +130,9 @@ def build_memory(args, memory, dataloader, outlier_cfg,
 
 
 def main(args, detector=None):
-    embeddings_func = get_embedder(args.embeddings)
+    embed_kwargs = ({"checkpoint_path": args.embedder_checkpoint}
+                    if getattr(args, "embedder_checkpoint", None) else {})
+    embeddings_func = get_embedder(args.embeddings, **embed_kwargs)
     if detector is None:
         detector = build_detector(args)
 
@@ -244,6 +246,10 @@ def make_parser():
     p.add_argument("--ram-tag-list", type=str, default=None,
                    help="ram_tag_list.txt (index-aligned with the checkpoint)")
     p.add_argument("--sam-checkpoint", type=str, default=None)
+    p.add_argument("--embedder-checkpoint", type=str, default=None,
+                   help="pretrained weights for --embeddings vit/dino/clip/"
+                        "dator (HF torch .bin/.pth or ported .npz; see "
+                        "scripts/fetch_checkpoints.sh)")
     p.add_argument("--focal-length-x", "--focal-length", type=float,
                    default=None, dest="focal_length_x")
     p.add_argument("--focal-length-y", type=float, default=None)
