@@ -143,12 +143,14 @@ def bench_neural_cascade():
     sam_params = cast_params(sam.init(rng, sam_img, sam_boxes), cdt)
     sam_apply = jax.jit(sam.apply)
 
-    # opt-in chunked cascade serving (IBL_CASCADE_CHUNK=F): RAM batches F
-    # frames and SAM vmaps over F frames per program — SAM-H measured
-    # 149.8 -> 111.0 ms/frame amortized at F=4 (perf/cascade_batch_probe.py,
-    # PERF.md); GroundingDINO stays one dispatch per frame (true-batching
-    # it measured neutral). Default 1 = per-frame serving.
-    chunk = max(1, int(os.environ.get("IBL_CASCADE_CHUNK", "1")))
+    # chunked cascade serving (IBL_CASCADE_CHUNK=F): RAM batches F frames
+    # and SAM vmaps over F frames per program — SAM-H measured 149.8 ->
+    # 111.0 ms/frame amortized at F=4 (perf/cascade_batch_probe.py);
+    # GroundingDINO stays one dispatch per frame (true-batching it measured
+    # neutral). Default 4: validated on the tunneled chip same-window,
+    # full metric 3.873 (chunk=1) -> 4.218 fps (chunk=4). Set =1 for
+    # per-frame latency-mode serving.
+    chunk = max(1, int(os.environ.get("IBL_CASCADE_CHUNK", "4")))
     if chunk > 1:
         ram_in_c = jnp.concatenate([ram_in] * chunk, 0)
         sam_imgs = jnp.stack([sam_img] * chunk)
