@@ -79,11 +79,19 @@ def build_detector(args):
                 "--detector cascade without any checkpoint degenerates to one "
                 "full-image box per keyword (useless). Pass --ram-checkpoint/"
                 "--gdino-checkpoint/--sam-checkpoint, or use --detector color.")
+        serving_mesh = None
+        if (getattr(args, "serve_data_axis", 1) > 1
+                and getattr(args, "detect_batch", 1) > 1):
+            # SPMD detection during the chunked build: the find_batch frame
+            # chunks shard over the mesh "data" axis
+            from ..parallel import make_mesh
+            serving_mesh = make_mesh(n_data=args.serve_data_axis, n_model=1)
         return build_cascade_detector(ram_checkpoint=args.ram_checkpoint,
                                       gdino_checkpoint=args.gdino_checkpoint,
                                       sam_checkpoint=args.sam_checkpoint,
                                       gdino_vocab=args.gdino_vocab,
-                                      ram_tag_list=args.ram_tag_list)
+                                      ram_tag_list=args.ram_tag_list,
+                                      serving_mesh=serving_mesh)
     raise ValueError(f"unknown detector {args.detector}")
 
 
@@ -93,16 +101,31 @@ def build_memory(args, memory, dataloader, outlier_cfg,
     tum_localisation_trial.py:97-176): process every environment frame,
     downsample, optional floor removal, recluster, optional pkl save."""
     depth_factor = dataloader.depth_factor
-    for idx in dataloader.environment_indices:
-        rgb_path, depth_path, pose = dataloader.get_image_data(idx)
-        memory.process_image(rgb_path, depth_path, pose,
-                             consider_floor=args.consider_floor,
-                             depth_factor=depth_factor,
-                             min_points=args.min_points,
-                             outlier_removal_config=outlier_cfg)
-        mem_gb, dev_gb = get_mem_stats()
-        if not args.quiet:
-            print(f"Using {mem_gb} GB of memory and {dev_gb} GB of device")
+    indices = list(dataloader.environment_indices)
+    chunk = max(1, getattr(args, "detect_batch", 1) or 1)
+    find_batch = getattr(memory.detector, "find_batch", None)
+    for c0 in range(0, len(indices), chunk):
+        items = [dataloader.get_image_data(i) for i in indices[c0:c0 + chunk]]
+        if chunk > 1 and find_batch is not None:
+            # chunked build: detect the whole chunk as batched device
+            # programs (CascadeDetector.find_batch), then feed each frame
+            # through the per-frame embed/backproject pipeline
+            rgbs = [p if isinstance(p, np.ndarray)
+                    else memory.load_rgb_image_func(p) for p, _, _ in items]
+            dets = find_batch(rgbs, args.consider_floor)
+        else:
+            rgbs = [p for p, _, _ in items]
+            dets = [None] * len(items)
+        for (_, depth_path, pose), rgb, det in zip(items, rgbs, dets):
+            memory.process_image(rgb, depth_path, pose,
+                                 consider_floor=args.consider_floor,
+                                 depth_factor=depth_factor,
+                                 min_points=args.min_points,
+                                 outlier_removal_config=outlier_cfg,
+                                 detections=det)
+            mem_gb, dev_gb = get_mem_stats()
+            if not args.quiet:
+                print(f"Using {mem_gb} GB of memory and {dev_gb} GB of device")
 
     memory.downsample_all_objects(voxel_size=args.downsample_voxel_size)
     if args.remove_floor:
@@ -286,6 +309,12 @@ def make_parser():
                    help="with --serve-batch: shard each chunk over an "
                         "N-device mesh data axis (SPMD multi-chip serving); "
                         "--serve-batch must be a multiple of N")
+    p.add_argument("--detect-batch", type=int, default=1,
+                   help="memory build: detect frames in chunks of F — the "
+                        "tagger and segmenter each run the chunk as one "
+                        "batched device program (find_batch); with "
+                        "--serve-data-axis N the chunks also shard over the "
+                        "mesh data axis")
     p.add_argument("--quiet", action="store_true")
     return p
 

@@ -234,20 +234,28 @@ class ObjectMemory:
                       will_cluster_later: bool = True,
                       depth_factor: float = 1.0,
                       kinect_frame: bool = False,
-                      process_capacity: int = PROCESS_CAPACITY):
+                      process_capacity: int = PROCESS_CAPACITY,
+                      detections: Detections | None = None):
         """Reference process_image (object_memory.py:163-256): detect, embed,
         backproject, (optional noise injection), world transform, min-points
         filter, floor routing, append — with everything between detection and
-        the host bookkeeping fused into ONE device program."""
+        the host bookkeeping fused into ONE device program.
+
+        `detections` short-circuits the detect stage with precomputed results
+        — the chunked build path (CascadeDetector.find_batch) detects a whole
+        frame chunk as batched device programs, then feeds each frame through
+        here."""
         timer = self.timer
         with timer.stage("build.load"):
             rgb, depth = self._load_images(rgb_image_path, depth_image_path,
                                            depth_factor)
         with timer.stage("build.detect"):
-            det: Detections = (
-                self.detector.find(rgb, consider_floor, depth=depth)
-                if getattr(self.detector, "wants_depth", False)
-                else self.detector.find(rgb, consider_floor))
+            if detections is not None:
+                det: Detections = detections
+            elif getattr(self.detector, "wants_depth", False):
+                det = self.detector.find(rgb, consider_floor, depth=depth)
+            else:
+                det = self.detector.find(rgb, consider_floor)
         if len(det) == 0:
             self._log("ObjectMemory.process_image did NOT find any objects")
             return

@@ -74,20 +74,17 @@ class CascadeDetector:
         self.size_threshold = size_threshold
         self.log_enabled = log_enabled
 
-    def find(self, rgb_image: np.ndarray, consider_floor: bool,
-             caption: list[str] | None = None) -> Detections:
-        img = np.asarray(rgb_image)
-        h, w = img.shape[:2]
-
-        if caption is None or len(caption) == 0:
-            caption = list(self.tagger(img))
+    def _keywords(self, caption, consider_floor: bool) -> list[str]:
         keywords = filter_caption(caption)
         if consider_floor:
             keywords += ["floor", "ground"]
         if self.log_enabled:
             print(f"Filtered caption post tagging: {keywords}")
+        return keywords
 
-        # per-keyword grounding with cross-keyword dedup (object_finder.py:180-207)
+    def _ground(self, img: np.ndarray, keywords: list[str]):
+        """Per-keyword grounding with cross-keyword dedup
+        (object_finder.py:180-207) -> (kept cxcywh boxes, kept phrases)."""
         if getattr(self.grounder, "multi_phrase", False):
             # ONE multi-phrase forward for all keywords (TPU-fast path;
             # dedup semantics below are identical — keyword order preserved)
@@ -110,20 +107,84 @@ class CascadeDetector:
                 if unique:
                     kept_boxes.append(box)
                     kept_phrases.append(word)
+        return kept_boxes, kept_phrases
 
-        if not kept_boxes:
-            return Detections.empty(h, w)
-
+    @staticmethod
+    def _pixel_boxes(kept_boxes, w: int, h: int) -> np.ndarray:
         boxes_xyxy = cxcywh_to_xyxy(np.stack(kept_boxes), w, h)
         boxes_xyxy[:, 0::2] = np.clip(boxes_xyxy[:, 0::2], 0, w)
         boxes_xyxy[:, 1::2] = np.clip(boxes_xyxy[:, 1::2], 0, h)
-        masks = np.asarray(self.segmenter(img, boxes_xyxy)).astype(bool)
+        return boxes_xyxy
 
+    @staticmethod
+    def _detections(img, boxes_xyxy, masks, phrases) -> Detections:
         crops = [img[int(b[1]):max(int(b[3]), int(b[1]) + 1),
                      int(b[0]):max(int(b[2]), int(b[0]) + 1)]
                  for b in boxes_xyxy]
-        return Detections(crops, boxes_xyxy.astype(np.float32), masks,
-                          kept_phrases)
+        return Detections(crops, boxes_xyxy.astype(np.float32),
+                          np.asarray(masks).astype(bool), phrases)
+
+    def find(self, rgb_image: np.ndarray, consider_floor: bool,
+             caption: list[str] | None = None) -> Detections:
+        img = np.asarray(rgb_image)
+        h, w = img.shape[:2]
+
+        if caption is None or len(caption) == 0:
+            caption = list(self.tagger(img))
+        keywords = self._keywords(caption, consider_floor)
+        kept_boxes, kept_phrases = self._ground(img, keywords)
+        if not kept_boxes:
+            return Detections.empty(h, w)
+
+        boxes_xyxy = self._pixel_boxes(kept_boxes, w, h)
+        masks = self.segmenter(img, boxes_xyxy)
+        return self._detections(img, boxes_xyxy, masks, kept_phrases)
+
+    def find_batch(self, frames, consider_floor: bool,
+                   captions=None) -> list[Detections]:
+        """Batched `find` over a chunk of frames — per-frame results are
+        identical (the batch axis never mixes frames), but the tagger runs
+        the whole chunk as one device program (`tag_batch`) and the
+        segmenter runs every non-empty frame as one vmapped program
+        (`segment_batch`); grounding stays per-frame (GroundingDINO
+        frame-batching measured flat — perf/cascade_batch_probe.py). This is
+        the memory-build analog of `localise_many`'s chunked serving."""
+        frames = [np.asarray(f) for f in frames]
+        caps = (list(captions) if captions is not None
+                else [None] * len(frames))
+        need = [i for i, c in enumerate(caps) if c is None or len(c) == 0]
+        if need:
+            if hasattr(self.tagger, "tag_batch"):
+                tagged = self.tagger.tag_batch([frames[i] for i in need])
+            else:
+                tagged = [self.tagger(frames[i]) for i in need]
+            for i, tags in zip(need, tagged):
+                caps[i] = list(tags)
+
+        results: list[Detections | None] = [None] * len(frames)
+        pend: list[tuple[int, np.ndarray, list[str]]] = []
+        for i, (img, cap) in enumerate(zip(frames, caps)):
+            h, w = img.shape[:2]
+            keywords = self._keywords(cap, consider_floor)
+            kept_boxes, kept_phrases = self._ground(img, keywords)
+            if not kept_boxes:
+                results[i] = Detections.empty(h, w)
+            else:
+                pend.append((i, self._pixel_boxes(kept_boxes, w, h),
+                             kept_phrases))
+
+        if pend:
+            if hasattr(self.segmenter, "segment_batch"):
+                masks_list = self.segmenter.segment_batch(
+                    [frames[i] for i, _, _ in pend],
+                    [b for _, b, _ in pend])
+            else:
+                masks_list = [self.segmenter(frames[i], b)
+                              for i, b, _ in pend]
+            for (i, boxes_xyxy, phrases), masks in zip(pend, masks_list):
+                results[i] = self._detections(frames[i], boxes_xyxy, masks,
+                                              phrases)
+        return results
 
 
 def build_cascade_detector(ram_checkpoint: str | None = None,
@@ -131,6 +192,7 @@ def build_cascade_detector(ram_checkpoint: str | None = None,
                            sam_checkpoint: str | None = None,
                            gdino_vocab: str | None = None,
                            ram_tag_list: str | None = None,
+                           serving_mesh=None,
                            **kwargs) -> CascadeDetector:
     """Assemble the neural cascade: RAM tagger (models/ram.py) ->
     GroundingDINO-style grounder (models/gdino.py) -> SAM segmenter
@@ -138,19 +200,28 @@ def build_cascade_detector(ram_checkpoint: str | None = None,
     initialized or weights-free (no pretrained weights are downloadable in
     this environment): the tagger returns [] (pass explicit captions), the
     grounder falls back to a single full-image proposal, SAM still produces
-    structural masks. Pass local checkpoint paths for real deployments."""
+    structural masks. Pass local checkpoint paths for real deployments.
+
+    `serving_mesh` enables SPMD batch serving for `find_batch`: the RAM and
+    SAM frame batches shard over the mesh "data" axis
+    (parallel/cascade_serving.py); GroundingDINO stays per-frame."""
     from .sam import build_sam_segmenter
     from .ram import build_ram_tagger
     from .gdino import build_gdino_grounder
 
-    segmenter = build_sam_segmenter(sam_checkpoint)
-    ram_tagger = build_ram_tagger(ram_checkpoint, tag_list_path=ram_tag_list)
+    segmenter = build_sam_segmenter(sam_checkpoint, serving_mesh=serving_mesh)
+    ram_tagger = build_ram_tagger(ram_checkpoint, tag_list_path=ram_tag_list,
+                                  serving_mesh=serving_mesh)
     gdino = (build_gdino_grounder(gdino_checkpoint, vocab_path=gdino_vocab)
              if gdino_checkpoint else None)
 
     def tagger(img):
         tags = ram_tagger(img)
         return tags if tags else ["object"]
+
+    tagger.tag_batch = lambda frames: [
+        tags if tags else ["object"]
+        for tags in ram_tagger.tag_batch(frames)]
 
     def grounder(img, keyword):
         if gdino is not None:

@@ -203,17 +203,30 @@ def build_ram_tagger(checkpoint_path: str | None = None,
                      threshold: float = 0.68,
                      image_size: int = 384,
                      cfg: RamConfig | None = None,
-                     compute_dtype=None):
+                     compute_dtype=None,
+                     serving_mesh=None,
+                     random_init: bool = False):
     """tagger(rgb) -> list[str] for CascadeDetector (reference
-    object_finder.py:272-277 contract)."""
+    object_finder.py:272-277 contract). Also exposes
+    `tagger.tag_batch(frames) -> list[list[str]]`, which runs a chunk of
+    frames as ONE batched device program; with `serving_mesh` the frame
+    batch shards over the mesh "data" axis (parallel/cascade_serving.py).
+
+    `random_init=True` initializes the real model without a checkpoint
+    (benchmarks / batch-parity tests at the true program shapes)."""
     if tag_list_path is not None:
         with open(tag_list_path, encoding="utf-8") as f:
             vocab = [line.strip() for line in f if line.strip()]
     else:
         vocab = list(tag_vocab or DEFAULT_TAG_VOCAB)
 
-    if checkpoint_path is None:
-        return lambda rgb: []   # cascade falls back to an explicit caption
+    if checkpoint_path is None and not random_init:
+        # cascade falls back to an explicit caption
+        def tagger(rgb):
+            return []
+
+        tagger.tag_batch = lambda frames: [[] for _ in frames]
+        return tagger
 
     # bf16 inference by default (models/precision.py); per-tag sigmoid
     # thresholding happens after an f32 upcast of the logits. The Swin
@@ -228,23 +241,56 @@ def build_ram_tagger(checkpoint_path: str | None = None,
     cfg = dataclasses.replace(
         cfg, backbone=dataclasses.replace(cfg.backbone, dtype=dt))
     model = Ram(cfg)
-    params, class_thresholds = port_ram_params(checkpoint_path, cfg)
+    if checkpoint_path is not None:
+        params, class_thresholds = port_ram_params(checkpoint_path, cfg)
+    else:
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.backbone.img_size, cfg.backbone.img_size, 3),
+                      jnp.float32))
+        class_thresholds = None
     if class_thresholds is None:
         class_thresholds = np.full((cfg.num_tags,), threshold, np.float32)
     params = cast_params(params, dt)
 
     @jax.jit
-    def apply(img):
+    def apply(p, img):
         return jax.nn.sigmoid(
-            model.apply(params, img.astype(dt)).astype(jnp.float32))
+            model.apply(p, img.astype(dt)).astype(jnp.float32))
 
-    def tagger(rgb: np.ndarray) -> list[str]:
+    def _prep(rgb: np.ndarray) -> np.ndarray:
         from PIL import Image
         img = np.asarray(Image.fromarray(rgb.astype(np.uint8)).resize(
             (image_size, image_size), Image.BILINEAR), np.float32) / 255.0
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
-        probs = np.asarray(apply(jnp.asarray(img[None], jnp.float32)))[0]
+        return (img - IMAGENET_MEAN) / IMAGENET_STD
+
+    mesh_cache: dict = {}
+
+    def _probs(imgs: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(imgs, jnp.float32)
+        p = params
+        if serving_mesh is not None and imgs.shape[0] > 1:
+            from ..parallel.cascade_serving import (shard_stacked,
+                                                    replicate_params)
+            x = shard_stacked(serving_mesh, x)
+            p = replicate_params(serving_mesh, params, mesh_cache)
+        return np.asarray(apply(p, x))
+
+    def _tags(probs: np.ndarray) -> list[str]:
         return [vocab[i] for i in np.nonzero(probs > class_thresholds)[0]
                 if i < len(vocab)]
 
+    def tagger(rgb: np.ndarray) -> list[str]:
+        return _tags(_probs(_prep(rgb)[None])[0])
+
+    def tag_batch(frames) -> list[list[str]]:
+        if not len(frames):
+            return []
+        from ..parallel.cascade_serving import padded_count, pad_stacked
+        imgs = np.stack([_prep(f) for f in frames])
+        imgs = pad_stacked(imgs, padded_count(len(frames), serving_mesh))
+        probs = _probs(imgs)[:len(frames)]
+        return [_tags(p) for p in probs]
+
+    tagger.tag_batch = tag_batch
     return tagger

@@ -382,10 +382,18 @@ SAM_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 def build_sam_segmenter(checkpoint_path: str | None = None,
                         cfg: SamConfig | None = None, max_boxes: int = 16,
-                        compute_dtype=None):
+                        compute_dtype=None, serving_mesh=None):
     """segmenter(rgb, boxes_xyxy) -> (M, H, W) bool, the cascade's stage-3
     callable. Handles the reference predictor's resize-longest-side-1024
     transform + mask un-resizing (object_finder.py:243-249).
+
+    Also exposes `segmenter.segment_batch(frames, boxes_list) ->
+    list[(Mi, Hi, Wi) bool]`, which runs a chunk of frames as ONE vmapped
+    device program — the measured ~25% per-frame SAM win over per-frame
+    dispatch (perf/cascade_batch_probe.py). With `serving_mesh` the frame
+    batch shards over the mesh "data" axis and the parameters replicate
+    (parallel/cascade_serving.py) — zero collectives, each chip runs the
+    identical per-frame program on its shard.
 
     Runs bf16 inference by default (models/precision.py): the ViT-B image
     encoder — ~95% of SAM's FLOPs — executes as bf16 MXU matmuls; box-prompt
@@ -410,7 +418,13 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
         logits, iou = model.apply(params, img.astype(dt), boxes)
         return logits.astype(jnp.float32), iou.astype(jnp.float32)
 
-    def segmenter(rgb, boxes_xyxy):
+    @jax.jit
+    def apply_batch(p, imgs, boxes):
+        logits, iou = jax.vmap(
+            lambda im, bx: model.apply(p, im.astype(dt), bx))(imgs, boxes)
+        return logits.astype(jnp.float32), iou.astype(jnp.float32)
+
+    def _prep(rgb, boxes_xyxy):
         from PIL import Image
         h, w = rgb.shape[:2]
         scale = cfg.img_size / max(h, w)
@@ -420,16 +434,16 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
         img = (img - SAM_MEAN) / SAM_STD
         canvas = np.zeros((cfg.img_size, cfg.img_size, 3), np.float32)
         canvas[:nh, :nw] = img
-
-        m = len(boxes_xyxy)
         boxes = np.zeros((max_boxes, 4), np.float32)
-        boxes[:m] = np.asarray(boxes_xyxy) * scale
-        logits, _ = apply(jnp.asarray(canvas), jnp.asarray(boxes))
-        logits = np.asarray(logits)[:m]                    # (m, 4g, 4g)
+        boxes[: len(boxes_xyxy)] = np.asarray(boxes_xyxy) * scale
+        return canvas, boxes, (h, w, nh, nw)
 
+    def _unresize(logits, geom):
         # un-resize: 4g logits cover the full 1024 canvas
-        out = np.zeros((m, h, w), bool)
-        for i in range(m):
+        from PIL import Image
+        h, w, nh, nw = geom
+        out = np.zeros((len(logits), h, w), bool)
+        for i in range(len(logits)):
             li = np.asarray(Image.fromarray(logits[i]).resize(
                 (cfg.img_size, cfg.img_size), Image.BILINEAR))
             li = li[:nh, :nw]
@@ -437,6 +451,33 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
             out[i] = mask > 0
         return out
 
+    def segmenter(rgb, boxes_xyxy):
+        canvas, boxes, geom = _prep(rgb, boxes_xyxy)
+        logits, _ = apply(jnp.asarray(canvas), jnp.asarray(boxes))
+        return _unresize(np.asarray(logits)[: len(boxes_xyxy)], geom)
+
+    mesh_cache: dict = {}
+
+    def segment_batch(frames, boxes_list):
+        from ..parallel.cascade_serving import (padded_count, pad_stacked,
+                                                replicate_params,
+                                                shard_stacked)
+        if not len(frames):
+            return []
+        prepped = [_prep(f, b) for f, b in zip(frames, boxes_list)]
+        n = padded_count(len(frames), serving_mesh)
+        canvases = pad_stacked(np.stack([p[0] for p in prepped]), n)
+        boxes = pad_stacked(np.stack([p[1] for p in prepped]), n)
+        x, bx = jnp.asarray(canvases), jnp.asarray(boxes)
+        p = params
+        if serving_mesh is not None and len(canvases) > 1:
+            x, bx = shard_stacked(serving_mesh, x, bx)
+            p = replicate_params(serving_mesh, params, mesh_cache)
+        logits = np.asarray(apply_batch(p, x, bx)[0])
+        return [_unresize(logits[i][: len(boxes_list[i])], prepped[i][2])
+                for i in range(len(frames))]
+
+    segmenter.segment_batch = segment_batch
     return segmenter
 
 
