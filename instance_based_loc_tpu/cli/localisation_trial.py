@@ -104,18 +104,43 @@ def build_memory(args, memory, dataloader, outlier_cfg,
     indices = list(dataloader.environment_indices)
     chunk = max(1, getattr(args, "detect_batch", 1) or 1)
     find_batch = getattr(memory.detector, "find_batch", None)
-    for c0 in range(0, len(indices), chunk):
-        items = [dataloader.get_image_data(i) for i in indices[c0:c0 + chunk]]
-        if chunk > 1 and find_batch is not None:
-            # chunked build: detect the whole chunk as batched device
-            # programs (CascadeDetector.find_batch), then feed each frame
-            # through the per-frame embed/backproject pipeline
-            rgbs = [p if isinstance(p, np.ndarray)
-                    else memory.load_rgb_image_func(p) for p, _, _ in items]
-            dets = find_batch(rgbs, args.consider_floor)
-        else:
-            rgbs = [p for p, _, _ in items]
-            dets = [None] * len(items)
+    use_batch = chunk > 1 and find_batch is not None
+    chunks = [indices[i:i + chunk] for i in range(0, len(indices), chunk)]
+
+    def load_and_detect(idxs):
+        items = [dataloader.get_image_data(i) for i in idxs]
+        if not use_batch:
+            return items, [p for p, _, _ in items], [None] * len(items)
+        # chunked build: detect the whole chunk as batched device programs
+        # (CascadeDetector.find_batch), then feed each frame through the
+        # per-frame embed/backproject pipeline
+        rgbs = [p if isinstance(p, np.ndarray)
+                else memory.load_rgb_image_func(p) for p, _, _ in items]
+        return items, rgbs, find_batch(rgbs, args.consider_floor)
+
+    def detected_chunks():
+        if not use_batch:
+            for ch in chunks:
+                yield load_and_detect(ch)
+            return
+        # prefetch depth 1: the NEXT chunk's image loads + cascade (host
+        # resize prep, device programs) run on a worker thread while the
+        # main thread drains the CURRENT chunk through process_image —
+        # the memory-build analog of localise_many's overlapped consumer
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = None
+            for ch in chunks:
+                nxt = ex.submit(load_and_detect, ch)
+                if fut is None:
+                    fut = nxt
+                    continue
+                yield fut.result()
+                fut = nxt
+            if fut is not None:
+                yield fut.result()
+
+    for items, rgbs, dets in detected_chunks():
         for (_, depth_path, pose), rgb, det in zip(items, rgbs, dets):
             memory.process_image(rgb, depth_path, pose,
                                  consider_floor=args.consider_floor,
