@@ -108,8 +108,9 @@ def _assert_masks_close(got, want, tol=0.02):
 
 def test_sam_segment_batch_matches_single(rng, tiny_sam_builder):
     segmenter = tiny_sam_builder()
-    # mixed frame sizes: each frame keeps its own resize geometry
-    frames = _frames(rng, 2, h=40, w=48) + _frames(rng, 1, h=32, w=32)
+    # uniform frame geometry: the whole batch un-resizes in ONE device
+    # program (the common one-camera case)
+    frames = _frames(rng, 3, h=40, w=48)
     boxes = [np.array([[4, 4, 30, 30], [10, 8, 40, 36]], np.float32),
              np.array([[2, 2, 20, 20]], np.float32),
              np.array([[1, 1, 30, 30], [5, 5, 25, 25], [8, 2, 30, 18]],
@@ -119,6 +120,22 @@ def test_sam_segment_batch_matches_single(rng, tiny_sam_builder):
     for f, b, got in zip(frames, boxes, batched):
         assert got.shape == (len(b),) + f.shape[:2]
         _assert_masks_close(got, segmenter(f, b))
+
+
+def test_sam_segment_batch_mixed_geometry(rng, tiny_sam_builder):
+    """Mixed frame sizes fall back to the host PIL un-resize per frame;
+    PIL antialiases its downscale while the device path (reference torch
+    F.interpolate semantics) does not, so on a random-init model the >0
+    threshold flips more boundary pixels — looser tolerance."""
+    segmenter = tiny_sam_builder()
+    frames = _frames(rng, 2, h=40, w=48) + _frames(rng, 1, h=32, w=32)
+    boxes = [np.array([[4, 4, 30, 30], [10, 8, 40, 36]], np.float32),
+             np.array([[2, 2, 20, 20]], np.float32),
+             np.array([[1, 1, 30, 30]], np.float32)]
+    batched = segmenter.segment_batch(frames, boxes)
+    for f, b, got in zip(frames, boxes, batched):
+        assert got.shape == (len(b),) + f.shape[:2]
+        _assert_masks_close(got, segmenter(f, b), tol=0.06)
 
 
 def test_sam_segment_batch_sharded_matches_unsharded(rng, tiny_sam_builder):
