@@ -697,26 +697,27 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     params = cast_params(params, dt)
 
     @jax.jit
-    def apply(images, input_ids, allowed, position_ids, token_mask):
+    def apply(raw, input_ids, allowed, position_ids, token_mask):
+        # u8 frames in; resize+normalize fused into the model program
+        # (parallel/cascade_serving.py device_preprocess)
+        from ..parallel.cascade_serving import device_preprocess
+        images = device_preprocess(raw, cfg.img_size,
+                                   IMAGENET_MEAN, IMAGENET_STD)
         logits, boxes = model.apply(params, images.astype(dt), input_ids,
                                     allowed, position_ids, token_mask)
         return logits.astype(jnp.float32), boxes.astype(jnp.float32)
 
-    def _run(img_batch, ids):
+    def _run(raw_batch, ids):
         allowed, position_ids = make_text_masks(ids)
         token_mask = ids != 0
-        logits, boxes = apply(jnp.asarray(img_batch), jnp.asarray(ids),
+        logits, boxes = apply(jnp.asarray(raw_batch), jnp.asarray(ids),
                               jnp.asarray(allowed), jnp.asarray(position_ids),
                               jnp.asarray(token_mask))
         return (np.asarray(jax.nn.sigmoid(logits[..., :ids.shape[1]])),
                 np.asarray(boxes))
 
     def _prep(rgb):
-        from PIL import Image
-        s = cfg.img_size
-        img = np.asarray(Image.fromarray(rgb.astype(np.uint8)).resize(
-            (s, s), Image.BILINEAR), np.float32) / 255.0
-        return (img - IMAGENET_MEAN) / IMAGENET_STD
+        return np.asarray(rgb, np.uint8)
 
     def grounder(rgb: np.ndarray, keyword: str):
         ids = np.asarray(tokenizer.encode(keyword + "."), np.int32)[None]

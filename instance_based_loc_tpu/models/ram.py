@@ -254,22 +254,20 @@ def build_ram_tagger(checkpoint_path: str | None = None,
     params = cast_params(params, dt)
 
     @jax.jit
-    def apply(p, img):
+    def apply(p, raw):
+        # u8 frames in; resize+normalize fused into the model program
+        # (parallel/cascade_serving.py device_preprocess)
+        from ..parallel.cascade_serving import device_preprocess
+        img = device_preprocess(raw, image_size, IMAGENET_MEAN, IMAGENET_STD)
         return jax.nn.sigmoid(
             model.apply(p, img.astype(dt)).astype(jnp.float32))
 
-    def _prep(rgb: np.ndarray) -> np.ndarray:
-        from PIL import Image
-        img = np.asarray(Image.fromarray(rgb.astype(np.uint8)).resize(
-            (image_size, image_size), Image.BILINEAR), np.float32) / 255.0
-        return (img - IMAGENET_MEAN) / IMAGENET_STD
-
     mesh_cache: dict = {}
 
-    def _probs(imgs: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(imgs, jnp.float32)
+    def _probs(raw: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(raw)
         p = params
-        if serving_mesh is not None and imgs.shape[0] > 1:
+        if serving_mesh is not None and raw.shape[0] > 1:
             from ..parallel.cascade_serving import (shard_stacked,
                                                     replicate_params)
             x = shard_stacked(serving_mesh, x)
@@ -281,14 +279,17 @@ def build_ram_tagger(checkpoint_path: str | None = None,
                 if i < len(vocab)]
 
     def tagger(rgb: np.ndarray) -> list[str]:
-        return _tags(_probs(_prep(rgb)[None])[0])
+        return _tags(_probs(np.asarray(rgb, np.uint8)[None])[0])
 
     def tag_batch(frames) -> list[list[str]]:
         if not len(frames):
             return []
         from ..parallel.cascade_serving import padded_count, pad_stacked
-        imgs = np.stack([_prep(f) for f in frames])
-        imgs = pad_stacked(imgs, padded_count(len(frames), serving_mesh))
+        frames = [np.asarray(f, np.uint8) for f in frames]
+        if any(f.shape != frames[0].shape for f in frames):
+            return [tagger(f) for f in frames]   # mixed sizes: per-frame
+        imgs = pad_stacked(np.stack(frames),
+                           padded_count(len(frames), serving_mesh))
         probs = _probs(imgs)[:len(frames)]
         return [_tags(p) for p in probs]
 

@@ -25,7 +25,6 @@ determinism and prompt-sensitivity with random init, and the layer-level math
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import flax.linen as nn
 import jax
@@ -414,6 +413,22 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
         params = port_sam_params(checkpoint_path, cfg, params)
     params = cast_params(params, dt)
 
+    def _canvas_jax(raw):
+        """Traced: raw u8 frames (..., H, W, 3) -> normalized 1024-canvas
+        f32 (..., S, S, 3) ON DEVICE — the reference predictor's
+        resize-longest-side + pad transform, fused into the forward program
+        so the host uploads only the raw u8 frame (0.9 MB at 480x640 vs
+        12.6 MB for the f32 canvas) and does no PIL work."""
+        h, w = raw.shape[-3], raw.shape[-2]
+        scale = cfg.img_size / max(h, w)
+        nh, nw = round(h * scale), round(w * scale)
+        img = jax.image.resize(raw.astype(jnp.float32),
+                               raw.shape[:-3] + (nh, nw, 3), "bilinear")
+        img = (img - SAM_MEAN) / SAM_STD
+        canvas = jnp.zeros(raw.shape[:-3] + (cfg.img_size, cfg.img_size, 3),
+                           jnp.float32)
+        return canvas.at[..., :nh, :nw, :].set(img)
+
     def _unresize_jax(logits, h, w, nh, nw):
         """Mask un-resize ON DEVICE — the reference predictor's two-step
         postprocess (interpolate to the full canvas, crop the valid region,
@@ -431,58 +446,38 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
                                  antialias=False)
         return small > 0
 
-    @partial(jax.jit, static_argnums=(2,))
-    def apply_masks(img, boxes, geom):
-        logits, iou = model.apply(params, img.astype(dt), boxes)
+    @jax.jit
+    def apply_masks(raw, boxes):
+        h, w = raw.shape[-3], raw.shape[-2]
+        logits, iou = model.apply(params, _canvas_jax(raw).astype(dt), boxes)
+        scale = cfg.img_size / max(h, w)
+        geom = (h, w, round(h * scale), round(w * scale))
         return (_unresize_jax(logits.astype(jnp.float32), *geom),
                 iou.astype(jnp.float32))
 
     @jax.jit
-    def apply_batch(p, imgs, boxes):
-        logits, iou = jax.vmap(
-            lambda im, bx: model.apply(p, im.astype(dt), bx))(imgs, boxes)
-        return logits.astype(jnp.float32), iou.astype(jnp.float32)
+    def apply_batch_masks(p, raws, boxes):
+        h, w = raws.shape[-3], raws.shape[-2]
+        scale = cfg.img_size / max(h, w)
+        geom = (h, w, round(h * scale), round(w * scale))
 
-    @partial(jax.jit, static_argnums=(3,))
-    def apply_batch_masks(p, imgs, boxes, geom):
-        def one(im, bx):
-            logits, iou = model.apply(p, im.astype(dt), bx)
+        def one(raw, bx):
+            logits, iou = model.apply(p, _canvas_jax(raw).astype(dt), bx)
             return (_unresize_jax(logits.astype(jnp.float32), *geom),
                     iou.astype(jnp.float32))
 
-        return jax.vmap(one)(imgs, boxes)
+        return jax.vmap(one)(raws, boxes)
 
-    def _prep(rgb, boxes_xyxy):
-        from PIL import Image
-        h, w = rgb.shape[:2]
-        scale = cfg.img_size / max(h, w)
-        nh, nw = round(h * scale), round(w * scale)
-        img = np.asarray(Image.fromarray(rgb.astype(np.uint8)).resize(
-            (nw, nh), Image.BILINEAR), np.float32)
-        img = (img - SAM_MEAN) / SAM_STD
-        canvas = np.zeros((cfg.img_size, cfg.img_size, 3), np.float32)
-        canvas[:nh, :nw] = img
+    def _prep_boxes(rgb, boxes_xyxy):
+        scale = cfg.img_size / max(rgb.shape[:2])
         boxes = np.zeros((max_boxes, 4), np.float32)
         boxes[: len(boxes_xyxy)] = np.asarray(boxes_xyxy) * scale
-        return canvas, boxes, (h, w, nh, nw)
-
-    def _unresize_host(logits, geom):
-        # host fallback (mixed-geometry batches): un-resize via PIL —
-        # 4g logits cover the full 1024 canvas
-        from PIL import Image
-        h, w, nh, nw = geom
-        out = np.zeros((len(logits), h, w), bool)
-        for i in range(len(logits)):
-            li = np.asarray(Image.fromarray(logits[i]).resize(
-                (cfg.img_size, cfg.img_size), Image.BILINEAR))
-            li = li[:nh, :nw]
-            mask = np.asarray(Image.fromarray(li).resize((w, h), Image.BILINEAR))
-            out[i] = mask > 0
-        return out
+        return boxes
 
     def segmenter(rgb, boxes_xyxy):
-        canvas, boxes, geom = _prep(rgb, boxes_xyxy)
-        masks, _ = apply_masks(jnp.asarray(canvas), jnp.asarray(boxes), geom)
+        raw = np.asarray(rgb, np.uint8)
+        boxes = jnp.asarray(_prep_boxes(raw, boxes_xyxy))
+        masks, _ = apply_masks(jnp.asarray(raw), boxes)
         return np.asarray(masks)[: len(boxes_xyxy)]
 
     mesh_cache: dict = {}
@@ -493,25 +488,22 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
                                                 shard_stacked)
         if not len(frames):
             return []
-        prepped = [_prep(f, b) for f, b in zip(frames, boxes_list)]
+        frames = [np.asarray(f, np.uint8) for f in frames]
+        if any(f.shape != frames[0].shape for f in frames):
+            # mixed frame geometry: per-frame programs (shapes are static)
+            return [segmenter(f, b) for f, b in zip(frames, boxes_list)]
         n = padded_count(len(frames), serving_mesh)
-        canvases = pad_stacked(np.stack([p[0] for p in prepped]), n)
-        boxes = pad_stacked(np.stack([p[1] for p in prepped]), n)
-        x, bx = jnp.asarray(canvases), jnp.asarray(boxes)
+        raws = pad_stacked(np.stack(frames), n)
+        boxes = pad_stacked(np.stack([_prep_boxes(f, b) for f, b
+                                      in zip(frames, boxes_list)]), n)
+        x, bx = jnp.asarray(raws), jnp.asarray(boxes)
         pp = params
-        if serving_mesh is not None and len(canvases) > 1:
+        if serving_mesh is not None and len(raws) > 1:
             x, bx = shard_stacked(serving_mesh, x, bx)
             pp = replicate_params(serving_mesh, params, mesh_cache)
-        geoms = [p[2] for p in prepped]
-        if all(g == geoms[0] for g in geoms):
-            # uniform frame geometry (one camera — the common case): the
-            # forward AND the mask un-resize run as ONE device program
-            masks = np.asarray(apply_batch_masks(pp, x, bx, geoms[0])[0])
-            return [masks[i][: len(boxes_list[i])]
-                    for i in range(len(frames))]
-        logits = np.asarray(apply_batch(pp, x, bx)[0])
-        return [_unresize_host(logits[i][: len(boxes_list[i])], geoms[i])
-                for i in range(len(frames))]
+        # canvas prep + forward + mask un-resize: ONE device program
+        masks = np.asarray(apply_batch_masks(pp, x, bx)[0])
+        return [masks[i][: len(boxes_list[i])] for i in range(len(frames))]
 
     segmenter.segment_batch = segment_batch
     return segmenter

@@ -18,8 +18,24 @@ orchestration that uses them.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def device_preprocess(raw, size: int, mean, std, scale255: bool = True):
+    """Traced helper: raw u8 frames (..., H, W, 3) -> square-resized,
+    normalized f32 (..., size, size, 3) ON DEVICE. Replaces the host PIL
+    resize+normalize the reference's torchvision transforms do per frame:
+    the host then uploads only the raw u8 frame (~0.9 MB at 480x640)
+    instead of the resized f32 tensor (1.8-12.6 MB per stage), and the
+    resize runs as part of the model's own program. jax.image.resize
+    antialiases its downscale like PIL/torchvision inference transforms."""
+    img = raw.astype(jnp.float32)
+    if scale255:
+        img = img / 255.0
+    img = jax.image.resize(img, raw.shape[:-3] + (size, size, 3), "bilinear")
+    return (img - jnp.asarray(mean)) / jnp.asarray(std)
 
 
 def padded_count(n: int, mesh: Mesh | None) -> int:

@@ -36,6 +36,30 @@ def _frames(rng, n, h=40, w=48):
     return [(rng.random((h, w, 3)) * 255).astype(np.uint8) for _ in range(n)]
 
 
+def test_device_preprocess_matches_pil(rng):
+    """The fused on-device resize+normalize must reproduce the host PIL
+    transform it replaced (both antialias their downscale; PIL additionally
+    u8-rounds, so exact equality is impossible)."""
+    import jax
+    from PIL import Image
+    from instance_based_loc_tpu.parallel.cascade_serving import (
+        device_preprocess)
+
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    rgb = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    want = (np.asarray(Image.fromarray(rgb).resize((32, 32), Image.BILINEAR),
+                       np.float32) / 255.0 - mean) / std
+    got = np.asarray(jax.jit(
+        lambda r: device_preprocess(r, 32, mean, std))(rgb))
+    assert np.abs(got - want).max() < 0.05      # measured 0.016
+    assert np.abs(got - want).mean() < 0.01     # measured 0.005
+    # batched leading axis
+    got2 = np.asarray(jax.jit(
+        lambda r: device_preprocess(r, 32, mean, std))(rgb[None]))
+    np.testing.assert_allclose(got2[0], got, atol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def tiny_ram_tagger():
     from instance_based_loc_tpu.models.ram import RamConfig, build_ram_tagger
