@@ -657,7 +657,8 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
                          box_threshold: float = 0.35,
                          text_threshold: float = 0.25,
                          cfg: GDinoConfig | None = None,
-                         compute_dtype=None):
+                         compute_dtype=None,
+                         random_init: bool = False):
     """grounder(rgb, keyword) -> (boxes_cxcywh_norm, scores) for the cascade
     (reference gd_predict semantics: score = max sigmoid logit over the
     phrase's text tokens, keep boxes above box_threshold).
@@ -665,9 +666,11 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     checkpoint_path: torch .pth/.bin of HF GroundingDinoForObjectDetection,
     or a .npz/.pkl of already-ported flax params. Weights-free (None):
     returns (None, None) so the cascade's fallback applies — random query
-    boxes would only pollute dedup."""
+    boxes would only pollute dedup. `random_init=True` instead initializes
+    the real model without a checkpoint (benchmarks / batch-parity tests at
+    the true program shapes)."""
     cfg = cfg or GDinoConfig(img_size=800)
-    if checkpoint_path is None:
+    if checkpoint_path is None and not random_init:
         return lambda rgb, keyword: (None, None)
 
     from .precision import resolve_compute_dtype, cast_params
@@ -681,7 +684,16 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     tokenizer = WordPieceTokenizer(vocab_path)
     model = GroundingDino(cfg)
 
-    if checkpoint_path.endswith((".pth", ".bin", ".pt")):
+    if checkpoint_path is None:
+        ids0 = np.zeros((1, 8), np.int32)
+        ids0[0, :3] = [tokenizer.cls_id, 1000, tokenizer.sep_id]
+        allowed0, position_ids0 = make_text_masks(ids0)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32),
+            jnp.asarray(ids0), jnp.asarray(allowed0),
+            jnp.asarray(position_ids0), jnp.asarray(ids0 != 0))
+    elif checkpoint_path.endswith((".pth", ".bin", ".pt")):
         import torch
         sd = torch.load(checkpoint_path, map_location="cpu",
                         weights_only=True)

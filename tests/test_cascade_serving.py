@@ -97,6 +97,32 @@ def test_ram_tag_batch_sharded_matches_single(rng, tiny_ram_tagger):
     assert tagger.tag_batch(frames) == [tagger(f) for f in frames]
 
 
+def test_gdino_random_init_grounder(rng):
+    """random_init builds the real grounder without a checkpoint (probe /
+    bench use); weights-free stays the (None, None) fallback."""
+    from instance_based_loc_tpu.models.bert import BertConfig
+    from instance_based_loc_tpu.models.gdino import (GDinoConfig,
+                                                     build_gdino_grounder)
+    from instance_based_loc_tpu.models.swin import SwinConfig
+
+    cfg = GDinoConfig(
+        backbone=SwinConfig(backbone_norms=True, embed_dim=24,
+                            depths=(1, 1, 2, 1), num_heads=(2, 2, 2, 2)),
+        text=BertConfig(hidden_size=64, num_layers=1, num_heads=4,
+                        intermediate_size=128),
+        img_size=64, d_model=64, num_queries=8,
+        encoder_layers=1, decoder_layers=1, ffn_dim=128)
+    assert build_gdino_grounder(None, cfg=cfg)(
+        np.zeros((8, 8, 3), np.uint8), "chair") == (None, None)
+    g = build_gdino_grounder(None, cfg=cfg, random_init=True,
+                             box_threshold=0.0)
+    rgb = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    boxes, scores = g(rgb, "chair")
+    assert boxes.shape[-1] == 4 and np.isfinite(boxes).all()
+    (b2, s2), = g.detect_all(rgb, ["chair"])
+    assert np.isfinite(b2).all() and len(b2) == len(s2)
+
+
 def test_weightsfree_ram_tagger_has_tag_batch():
     from instance_based_loc_tpu.models.ram import build_ram_tagger
 
