@@ -74,11 +74,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from ..config import load_config
     from ..parallel.mesh import make_mesh, shard_batch
     from ..models.dator.data import PKSampler, scan_instance_dirs
-    from ..models.dator.train import (create_train_state, make_pjit_train_step,
-                                      save_checkpoint)
+    from ..models.dator.train import (create_train_state,
+                                      make_pjit_dataset_train_step,
+                                      make_pjit_train_step, save_checkpoint)
 
     cfg = load_config(args.config, args.opts)
     os.makedirs(cfg.output_dir, exist_ok=True)
@@ -98,9 +100,26 @@ def main(argv=None):
     state = create_train_state(model_cfg, cfg.train, jax.random.PRNGKey(0),
                                cfg.data.height, cfg.data.width,
                                pretrained_path=args.pretrained)
-    step_fn = make_pjit_train_step(mesh, state, cfg.train,
-                                   (cfg.data.batch_size, cfg.data.height,
-                                    cfg.data.width))
+
+    # device-resident dataset: keep the whole quantized dataset in HBM and
+    # upload only a (B,) index array per step (tens of bytes vs the batch
+    # tensors — the tunnel-bound upload was the steady-state constraint)
+    ds_mb = (len(samples) * cfg.data.height * cfg.data.width * 5) / 2**20
+    use_device_ds = (ds_mb <= cfg.data.device_dataset_max_mb
+                     if cfg.data.device_dataset == "auto"
+                     else bool(cfg.data.device_dataset))
+    if use_device_ds:
+        print(f"device-resident dataset: {ds_mb:.1f} MB quantized")
+        rep = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        ds_rgb, ds_depth, ds_pids = (
+            jax.device_put(a, rep)
+            for a in sampler.load_all(cfg.data.height, cfg.data.width))
+        step_fn = make_pjit_dataset_train_step(mesh, state, cfg.train)
+    else:
+        step_fn = make_pjit_train_step(mesh, state, cfg.train,
+                                       (cfg.data.batch_size, cfg.data.height,
+                                        cfg.data.width))
 
     with mesh:
         for epoch in range(cfg.train.epochs):
@@ -114,17 +133,24 @@ def main(argv=None):
             # batch i+1 loads/uploads while steps i-3..i execute.
             pending = []
             for bi, batch_idxs in enumerate(batches):
-                rgb, depth, pids = sampler.load_batch(
-                    batch_idxs, cfg.data.height, cfg.data.width,
-                    quantize=cfg.data.quantize_upload)
-                # numpy straight into device_put: one host->device transfer
-                # with the target sharding (jnp.asarray first would upload to
-                # the default device and then re-place)
-                rgb_s, depth_s, pids_s = shard_batch(mesh, (rgb, depth, pids))
-                state, metrics = step_fn(state, rgb_s, depth_s, pids_s,
-                                         jax.random.fold_in(
-                                             jax.random.PRNGKey(1),
-                                             epoch * 10000 + bi))
+                rng = jax.random.fold_in(jax.random.PRNGKey(1),
+                                         epoch * 10000 + bi)
+                if use_device_ds:
+                    idxs = jax.device_put(
+                        np.asarray(batch_idxs, np.int32), data_sh)
+                    state, metrics = step_fn(state, ds_rgb, ds_depth,
+                                             ds_pids, idxs, rng)
+                else:
+                    rgb, depth, pids = sampler.load_batch(
+                        batch_idxs, cfg.data.height, cfg.data.width,
+                        quantize=cfg.data.quantize_upload)
+                    # numpy straight into device_put: one host->device
+                    # transfer with the target sharding (jnp.asarray first
+                    # would upload to the default device and then re-place)
+                    rgb_s, depth_s, pids_s = shard_batch(mesh,
+                                                         (rgb, depth, pids))
+                    state, metrics = step_fn(state, rgb_s, depth_s, pids_s,
+                                             rng)
                 pending.append(metrics["loss"])
                 if len(pending) > 4:
                     losses.append(float(pending.pop(0)))

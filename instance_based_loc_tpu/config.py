@@ -33,6 +33,12 @@ class DataConfig:
     # tunneled on-chip training, PERF.md); numerically within input
     # quantization (<=1.5e-5 after normalization) of the f32 path
     quantize_upload: bool = True
+    # keep the WHOLE quantized dataset device-resident and gather batches
+    # on device by index (~tens of bytes uploaded per step instead of the
+    # batch tensors). "auto" = on when the quantized dataset is under
+    # device_dataset_max_mb; true/false force it.
+    device_dataset: Any = "auto"
+    device_dataset_max_mb: int = 512
 
 
 @dataclasses.dataclass

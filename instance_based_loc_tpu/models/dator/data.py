@@ -111,6 +111,15 @@ class PKSampler:
             batches.append(batch)
         return batches
 
+    def load_all(self, height: int = 256, width: int = 128):
+        """Preload the WHOLE dataset once as quantized arrays (u8 rgb
+        (N, H, W, 3), u16 depth (N, H, W), i32 pids) for device-resident
+        training (`train.make_pjit_dataset_train_step`): the dataset lives
+        in HBM (~163 KB per 256x128 sample) and each step uploads only a
+        (B,) index array."""
+        return self.load_batch(list(range(len(self.samples))), height,
+                               width, quantize=True)
+
     def load_batch(self, batch_idxs: list[int],
                    height: int = 256, width: int = 128,
                    quantize: bool = False):

@@ -223,26 +223,60 @@ def dator_param_pspec(params) -> Any:
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def make_pjit_train_step(mesh, state: TrainState, train_cfg: TrainConfig,
-                         batch_shape: tuple[int, int, int]):
-    """Compile the train step over the mesh: batch sharded on "data", tower
-    params sharded on "model"."""
+def _state_sharding(mesh, state: TrainState) -> TrainState:
     param_spec = dator_param_pspec(state.params)
-    param_sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), param_spec)
-    data_sh = NamedSharding(mesh, P("data"))
+    param_sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s),
+                                      param_spec)
     rep = NamedSharding(mesh, P())
-
-    state_sh = TrainState(
+    return TrainState(
         step=rep, params=param_sh,
         opt_state=jax.tree_util.tree_map(
             lambda _: rep, state.opt_state,
             is_leaf=lambda x: isinstance(x, jnp.ndarray) or not isinstance(x, (tuple, list, dict))),
         tx=state.tx, apply_fn=state.apply_fn)
 
+
+def make_pjit_train_step(mesh, state: TrainState, train_cfg: TrainConfig,
+                         batch_shape: tuple[int, int, int]):
+    """Compile the train step over the mesh: batch sharded on "data", tower
+    params sharded on "model"."""
+    state_sh = _state_sharding(mesh, state)
+    data_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
     step_fn = partial(train_step, train_cfg=train_cfg)
     return jax.jit(
         step_fn,
         in_shardings=(state_sh, data_sh, data_sh, data_sh, rep),
+        out_shardings=(state_sh, rep),
+        donate_argnums=(0,),
+    )
+
+
+def make_pjit_dataset_train_step(mesh, state: TrainState,
+                                 train_cfg: TrainConfig):
+    """Device-resident-dataset variant of `make_pjit_train_step`: the whole
+    quantized ReID dataset (u8 rgb, u16 depth, i32 pids from
+    `PKSampler.load_all`) stays replicated in HBM and each step receives a
+    "data"-sharded (B,) index array — per-step host->device upload drops
+    from the batch tensors (~2.6 MB quantized at batch 16) to tens of
+    bytes, which is the binding constraint for tunneled on-chip training
+    (PERF.md). The gather + dequantize run inside the train program; with
+    sharded indices against the replicated dataset each device gathers only
+    its own batch shard."""
+    state_sh = _state_sharding(mesh, state)
+    data_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def step(state, ds_rgb, ds_depth, ds_pids, idxs, rng):
+        rgb = jnp.take(ds_rgb, idxs, axis=0)
+        depth = jnp.take(ds_depth, idxs, axis=0)
+        labels = jnp.take(ds_pids, idxs, axis=0)
+        return train_step(state, rgb, depth, labels, rng, train_cfg)
+
+    return jax.jit(
+        step,
+        in_shardings=(state_sh, rep, rep, rep, data_sh, rep),
         out_shardings=(state_sh, rep),
         donate_argnums=(0,),
     )

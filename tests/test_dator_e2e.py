@@ -83,6 +83,71 @@ def test_dator_training_on_generated_dataset(reid_dataset, tmp_path):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+def test_device_dataset_step_matches_uploaded_batch(reid_dataset, tmp_path):
+    """make_pjit_dataset_train_step (whole quantized dataset resident in
+    HBM, per-step upload = a (B,) index array) must reproduce the
+    uploaded-batch step: same quantized data, same RNG -> same loss and
+    updates (different XLA program -> float-rounding tolerance)."""
+    from instance_based_loc_tpu.config import load_config
+    from instance_based_loc_tpu.models.dator.data import (PKSampler,
+                                                          scan_instance_dirs)
+    from instance_based_loc_tpu.models.dator.train import (
+        create_train_state, make_pjit_dataset_train_step,
+        make_pjit_train_step)
+    from instance_based_loc_tpu.parallel.mesh import make_mesh, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = load_config(overrides=[
+        f"data.root={reid_dataset}", "data.batch_size=8",
+        "data.num_instances=2", "data.height=64", "data.width=32",
+        "train.warmup_epochs=0", "train.base_lr=0.02",
+        "train.optimizer=adam", f"output_dir={tmp_path}",
+    ])
+    samples = scan_instance_dirs(cfg.data.root)
+    num_classes = len({s.pid for s in samples})
+    model_cfg = dataclasses.replace(
+        cfg.model, num_classes=num_classes, dtype=jnp.float32,
+        reduced_dim=16,
+        backbone=dataclasses.replace(
+            cfg.model.backbone, img_height=64, img_width=32, patch_size=8,
+            stride_size=8, hidden_size=32, num_layers=3, num_heads=4,
+            local_feature=True, dtype=jnp.float32))
+    sampler = PKSampler(samples, cfg.data.batch_size, cfg.data.num_instances)
+    mesh = make_mesh(n_model=1)
+    batch = sampler.epoch_batches(0)[0]
+    rng = jax.random.PRNGKey(3)
+
+    def fresh_state():
+        # same PRNGKey -> identical initial weights; the TrainState's static
+        # tx/apply_fn fields compare by identity, so each path must reuse
+        # the SAME instance for make_* and the step call
+        return create_train_state(model_cfg, cfg.train, jax.random.PRNGKey(0),
+                                  64, 32)
+
+    with mesh:
+        # path A: quantized batch uploaded per step
+        st0_a = fresh_state()
+        step_a = make_pjit_train_step(mesh, st0_a, cfg.train, (8, 64, 32))
+        rgb, depth, pids = sampler.load_batch(batch, 64, 32, quantize=True)
+        st_a, m_a = step_a(st0_a,
+                           *shard_batch(mesh, (rgb, depth, pids)), rng)
+
+        # path B: device-resident dataset, index-array upload
+        st0_b = fresh_state()
+        step_b = make_pjit_dataset_train_step(mesh, st0_b, cfg.train)
+        rep = NamedSharding(mesh, P())
+        ds = [jax.device_put(a, rep) for a in sampler.load_all(64, 32)]
+        idxs = jax.device_put(np.asarray(batch, np.int32),
+                              NamedSharding(mesh, P("data")))
+        st_b, m_b = step_b(st0_b, *ds, idxs, rng)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-4)
+    leaf_a = np.asarray(st_a.params["params"]["classifier"]["kernel"])
+    leaf_b = np.asarray(st_b.params["params"]["classifier"]["kernel"])
+    np.testing.assert_allclose(leaf_a, leaf_b, atol=1e-5)
+
+
 def test_config_yaml_and_overrides(tmp_path):
     from instance_based_loc_tpu.config import load_config
     yml = tmp_path / "cfg.yml"
