@@ -708,21 +708,27 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     # thresholding reads f32-upcast sigmoids
     params = cast_params(params, dt)
 
+    # params as an EXPLICIT jit argument, not a closure constant: closure
+    # consts are serialized into the program body, which blows the axon
+    # remote-compile HTTP body limit (413) at SwinB+BERT scale
+    params = jax.device_put(params)
+
     @jax.jit
-    def apply(raw, input_ids, allowed, position_ids, token_mask):
+    def apply(p, raw, input_ids, allowed, position_ids, token_mask):
         # u8 frames in; resize+normalize fused into the model program
         # (parallel/cascade_serving.py device_preprocess)
         from ..parallel.cascade_serving import device_preprocess
         images = device_preprocess(raw, cfg.img_size,
                                    IMAGENET_MEAN, IMAGENET_STD)
-        logits, boxes = model.apply(params, images.astype(dt), input_ids,
+        logits, boxes = model.apply(p, images.astype(dt), input_ids,
                                     allowed, position_ids, token_mask)
         return logits.astype(jnp.float32), boxes.astype(jnp.float32)
 
     def _run(raw_batch, ids):
         allowed, position_ids = make_text_masks(ids)
         token_mask = ids != 0
-        logits, boxes = apply(jnp.asarray(raw_batch), jnp.asarray(ids),
+        logits, boxes = apply(params, jnp.asarray(raw_batch),
+                              jnp.asarray(ids),
                               jnp.asarray(allowed), jnp.asarray(position_ids),
                               jnp.asarray(token_mask))
         return (np.asarray(jax.nn.sigmoid(logits[..., :ids.shape[1]])),

@@ -447,9 +447,9 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
         return small > 0
 
     @jax.jit
-    def apply_masks(raw, boxes):
+    def apply_masks(p, raw, boxes):
         h, w = raw.shape[-3], raw.shape[-2]
-        logits, iou = model.apply(params, _canvas_jax(raw).astype(dt), boxes)
+        logits, iou = model.apply(p, _canvas_jax(raw).astype(dt), boxes)
         scale = cfg.img_size / max(h, w)
         geom = (h, w, round(h * scale), round(w * scale))
         return (_unresize_jax(logits.astype(jnp.float32), *geom),
@@ -477,7 +477,7 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
     def segmenter(rgb, boxes_xyxy):
         raw = np.asarray(rgb, np.uint8)
         boxes = jnp.asarray(_prep_boxes(raw, boxes_xyxy))
-        masks, _ = apply_masks(jnp.asarray(raw), boxes)
+        masks, _ = apply_masks(params, jnp.asarray(raw), boxes)
         return np.asarray(masks)[: len(boxes_xyxy)]
 
     mesh_cache: dict = {}
