@@ -725,13 +725,26 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
         return logits.astype(jnp.float32), boxes.astype(jnp.float32)
 
     def _run(raw_batch, ids):
+        # bucket the text length to a multiple of 16: each distinct ids
+        # length is a fresh jit specialization of the whole SwinB@800
+        # program (minutes of remote compile over the tunnel), and RAM
+        # captions vary per frame. Pad ids (0 = PAD) are parity-exact:
+        # detect_all always ends phrases with a period directly before SEP
+        # so make_text_masks yields the identical blocks for real tokens
+        # (pads self-attend only), and token_mask=-inf removes pads from
+        # fusion, query selection, logits, and decoder cross-attention —
+        # matching HF's own padded-batch semantics.
+        t = ids.shape[1]
+        tp = -(-t // 16) * 16
+        if tp != t:
+            ids = np.pad(ids, ((0, 0), (0, tp - t)))
         allowed, position_ids = make_text_masks(ids)
         token_mask = ids != 0
         logits, boxes = apply(params, jnp.asarray(raw_batch),
                               jnp.asarray(ids),
                               jnp.asarray(allowed), jnp.asarray(position_ids),
                               jnp.asarray(token_mask))
-        return (np.asarray(jax.nn.sigmoid(logits[..., :ids.shape[1]])),
+        return (np.asarray(jax.nn.sigmoid(logits[..., :t])),
                 np.asarray(boxes))
 
     def _prep(rgb):

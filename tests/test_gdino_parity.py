@@ -183,6 +183,56 @@ def test_multi_phrase_detect_all(tmp_path):
     assert b1.shape[0] == s1.shape[0]
 
 
+def test_text_length_bucketing_parity(tmp_path):
+    """The grounder pads input_ids to a multiple of 16 (one jit
+    specialization per bucket, not one per caption length — each length is
+    a full SwinB recompile in deployment). Padded results must match an
+    unpadded forward exactly."""
+    import pickle
+    from instance_based_loc_tpu.models.gdino import (
+        build_gdino_grounder, IMAGENET_MEAN, IMAGENET_STD)
+    from instance_based_loc_tpu.parallel.cascade_serving import (
+        device_preprocess)
+
+    cfg = tiny_flax_config()
+    model = GroundingDino(cfg)
+    ids0 = np.array([[101, 7, 8, 1012, 102]], np.int32)
+    allowed0, pos0 = make_text_masks(ids0)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32),
+                        jnp.asarray(ids0), jnp.asarray(allowed0),
+                        jnp.asarray(pos0), jnp.ones_like(ids0, bool))
+    ckpt = tmp_path / "params.pkl"
+    ckpt.write_bytes(pickle.dumps(params))
+    # "." must land on id 1012 (make_text_masks' SPECIAL_TOKEN_IDS, like the
+    # real bert-base-uncased vocab): padding is only parity-exact because
+    # the grounder always ends phrases with a special "." before SEP.
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]"] * 101 + ["[CLS]", "[SEP]"] + ["[UNK]"] * 909 +
+        [".", "chair"]))
+
+    g = build_gdino_grounder(str(ckpt), vocab_path=str(vocab),
+                             box_threshold=0.0, cfg=cfg,
+                             compute_dtype="float32")
+    rgb = (np.random.default_rng(2).random((64, 64, 3)) * 255).astype(np.uint8)
+    got_boxes, got_scores = g(rgb, "chair")          # ids len 4 -> padded 16
+
+    # unpadded reference forward through identical preprocessing
+    ids = np.array([[101, 1013, 1012, 102]], np.int32)   # [CLS] chair . [SEP]
+    allowed, pos = make_text_masks(ids)
+    img = device_preprocess(jnp.asarray(rgb[None]), cfg.img_size,
+                            IMAGENET_MEAN, IMAGENET_STD)
+    logits, boxes = model.apply(params, img, jnp.asarray(ids),
+                                jnp.asarray(allowed), jnp.asarray(pos),
+                                jnp.asarray(ids != 0))
+    probs = np.asarray(jax.nn.sigmoid(logits))[0, :, :ids.shape[1]]
+    ref_scores = probs.max(axis=-1)
+    assert got_boxes.shape[0] == cfg.num_queries      # threshold 0 keeps all
+    np.testing.assert_allclose(got_scores, ref_scores, atol=1e-5)
+    np.testing.assert_allclose(got_boxes, np.asarray(boxes)[0], atol=1e-5)
+
+
 def test_cascade_uses_multi_phrase_grounder():
     from instance_based_loc_tpu.models.cascade import CascadeDetector
     calls = {"single": 0, "multi": 0}
