@@ -76,7 +76,7 @@ def bench_neural_path():
         "unit": f"frames/sec ({crops_per_frame} crops @224, "
                 f"{best_cfg} frames/program, {np.dtype(cdt).name})",
         "vs_baseline": None,
-    }))
+    }), flush=True)
     return best_fps
 
 
@@ -188,7 +188,7 @@ def bench_neural_cascade():
                 f"{cdt_name}"
                 + (f", chunk={chunk}" if chunk > 1 else "") + ")",
         "vs_baseline": None,
-    }))
+    }), flush=True)
     return fps
 
 
@@ -333,11 +333,31 @@ def main():
         "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
     })
     print(e2e_line, flush=True)
+
+    # The driver parses the LAST line of the captured output, and its
+    # timeout may SIGTERM this process anywhere inside the compile-heavy
+    # (~20-40 min over the tunnel) neural metrics. Two layers of
+    # kill-safety keep the headline metric last no matter where the run
+    # dies: (1) the headline line is reprinted after EVERY subsequent
+    # metric print, so even an uncatchable kill (SIGKILL, or SIGTERM
+    # landing while blocked in a remote-compile C call that never returns
+    # to the interpreter) leaves it as the last flushed JSON line; (2) a
+    # SIGTERM/SIGINT handler flushes and reprints it on the way out.
+    import signal
+
+    def _reprint_and_exit(signum, frame):
+        sys.stdout.flush()
+        print("\n" + e2e_line, flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _reprint_and_exit)
+    signal.signal(signal.SIGINT, _reprint_and_exit)
+
     bench_neural_path()
+    print(e2e_line, flush=True)
     if not cpu_fallback:   # SAM-H@1024 + GDINO@800 are not a CPU workload
         bench_neural_cascade()
-    # reprint: the driver parses the LAST line
-    print(e2e_line)
+        print(e2e_line, flush=True)
 
 
 if __name__ == "__main__":
