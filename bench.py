@@ -1,15 +1,24 @@
 """End-to-end localisation benchmark (driver contract: ONE JSON line, last).
 
-Two metrics:
-  1. neural-path throughput — the flax detection cascade (SAM-style ViT
-     segmenter + grounder at realistic resolution) + batched ViT crop
-     embedder, i.e. the TPU model-inference side of the workload
-     (SURVEY.md §3 hot loops 1 and 3). Printed as an intermediate JSON line.
-  2. e2e RGB-D localisation frames/sec/chip — detect + embed + assignment
+Three metrics:
+  1. e2e RGB-D localisation frames/sec/chip — detect + embed + assignment
      search + registration against a built object memory (the reference
      pipeline's serve() path, SURVEY.md §3.2), with the weights-free
      detector/embedder so the geometry path is isolated from model quality.
-     Printed LAST (the driver parses the last line). Baseline: 30 fps/chip.
+     The HEADLINE: printed first, reprinted LAST (the driver parses the
+     last line). Baseline: 30 fps/chip.
+  2. cascade_frames_per_sec — the FULL neural perception cascade at the
+     reference's deployment scale (RAM Swin-L@384 + GDINO SwinB@800 +
+     SAM-H@1024), random weights / real shapes.
+  3. vit_embed_frames_per_sec — batched ViT-B/16 crop embedding.
+
+Budget architecture (round-3 fix for the r02 rc=124 timeout): the parent
+process NEVER imports jax. Each metric runs serially in its own subprocess
+(one tunnel client at a time — concurrent clients wedge the axon worker)
+under a wall-clock cap; a metric that would blow the driver's 2700 s window
+is killed mid-compile and replaced by a labeled skip line, and the parent
+exits 0 with the headline as the last JSON line no matter what.
+IBL_BENCH_BUDGET_S overrides the total budget (default 2250 s).
 
 A per-stage wall-clock table from StageTimer is printed before the JSON so
 regressions are attributable.
@@ -24,6 +33,7 @@ import time
 import numpy as np
 
 NORTH_STAR_FPS = 30.0
+_START = time.monotonic()
 
 
 def bench_neural_path():
@@ -57,15 +67,21 @@ def bench_neural_path():
     # (a single 8-crop program is dominated by the ~25-50 ms tunnel
     # service time, not compute). The optimal batch tracks the tunnel's
     # residual at run time, so measure {4, 16} and serve at the better.
+    # Inputs are real random crop batches (the distribution the e2e path
+    # feeds), not zeros — bf16 through all-equal inputs gives XLA
+    # degenerate value distributions the deployment never sees.
+    crop_rng = np.random.default_rng(0)
     best_fps, best_cfg = 0.0, 4
     for frames_per_call in (4, 16):
-        x = jnp.zeros((frames_per_call * crops_per_frame, 224, 224, 3), cdt)
-        np.asarray(embed(params, x)[0].ravel()[0])  # compile
+        xs = [jnp.asarray(crop_rng.random(
+            (frames_per_call * crops_per_frame, 224, 224, 3),
+            np.float32).astype(np.dtype(cdt))) for _ in range(2)]
+        np.asarray(embed(params, xs[0])[0].ravel()[0])  # compile
         n_calls = max(2, 32 // frames_per_call)
         n = n_calls * frames_per_call
         for _ in range(2):
             t0 = time.perf_counter()
-            outs = [embed(params, x + i) for i in range(n_calls)]
+            outs = [embed(params, xs[i % 2]) for i in range(n_calls)]
             np.asarray(outs[-1][0].ravel()[0])   # device executes in order
             fps = n / (time.perf_counter() - t0)
             if fps > best_fps:
@@ -269,6 +285,22 @@ def bench_e2e():
     return fps
 
 
+def _knob_set() -> str:
+    """The registration knob set in force, stamped into the e2e JSON unit
+    (VERDICT r2: a bench number without its knob set is unattributable)."""
+    from instance_based_loc_tpu.memory import object_memory as om
+    trimmed = (om.NUM_HYPOTHESES, om.ICP_COARSE_ITERS, om.ICP_FINE_ITERS,
+               om.EVAL_CAPACITY, om.FPFH_MAX_NN) == (512, 8, 10, 2048, 50)
+    reference = (om.NUM_HYPOTHESES, om.ICP_COARSE_ITERS, om.ICP_FINE_ITERS,
+                 om.EVAL_CAPACITY, om.FPFH_MAX_NN) == (2048, 10, 12, 4096, 100)
+    label = ("trimmed-defaults" if trimmed
+             else "reference-grade" if reference else "custom")
+    return (f"knobs={label} hyp={om.NUM_HYPOTHESES} "
+            f"icp={om.ICP_COARSE_ITERS}+{om.ICP_FINE_ITERS} "
+            f"eval={om.EVAL_CAPACITY} fpfh_nn={om.FPFH_MAX_NN} "
+            f"ransac_pairs={om.RANSAC_PAIRS_MAX}")
+
+
 def _device_reachable(timeout_s: float = 240.0, attempts: int = 4,
                       retry_sleep_s: float = 90.0) -> bool:
     """Probe the accelerator in a subprocess: the tunneled TPU can wedge in
@@ -301,64 +333,190 @@ def _device_reachable(timeout_s: float = 240.0, attempts: int = 4,
     return False
 
 
-def main():
-    import os
-    import sys
-    profile_dir = None
-    if "--profile" in sys.argv:   # jax.profiler trace of the e2e stage
-        profile_dir = sys.argv[sys.argv.index("--profile") + 1]
-    cpu_fallback = not _device_reachable()
-    if cpu_fallback:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+def _fake_child(metric: str):
+    """IBL_BENCH_FAKE test instrumentation (tests/test_bench_killsafety.py):
+    canned metric lines with zero jax/device work, so the parent's budget /
+    skip / signal mechanics are testable in seconds. Never set in real runs."""
+    if metric == "e2e":
+        print(json.dumps({
+            "metric": "e2e_localisation_fps_per_chip", "value": 42.0,
+            "unit": "frames/sec (FAKE)", "vs_baseline": 1.4}), flush=True)
+    elif metric == "vit":
+        print(json.dumps({
+            "metric": "vit_embed_frames_per_sec", "value": 100.0,
+            "unit": "frames/sec (FAKE)", "vs_baseline": None}), flush=True)
+    elif metric == "cascade":
+        hang = float(os.environ.get("IBL_BENCH_FAKE_CASCADE_SLEEP", "0"))
+        time.sleep(hang)   # emulate a remote compile blowing the budget
+        print(json.dumps({
+            "metric": "cascade_frames_per_sec", "value": 5.0,
+            "unit": "frames/sec (FAKE)", "vs_baseline": None}), flush=True)
+
+
+def _run_child(metric: str, profile_dir=None):
+    """Child-process entry: run ONE metric and print its JSON line(s)."""
+    if os.environ.get("IBL_BENCH_FAKE"):
+        return _fake_child(metric)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # parent decided on CPU fallback; the axon sitecustomize hook
+        # overrides the env var at interpreter start, force it back
         import jax
         jax.config.update("jax_platforms", "cpu")
+    if metric == "e2e":
+        if profile_dir:
+            from instance_based_loc_tpu.utils.profiling import device_trace
+            with device_trace(profile_dir):
+                fps = bench_e2e()
+        else:
+            fps = bench_e2e()
+        print(json.dumps({
+            "metric": "e2e_localisation_fps_per_chip",
+            "value": round(fps, 3),
+            "unit": f"frames/sec ({_knob_set()})",
+            "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+        }), flush=True)
+    elif metric == "vit":
+        bench_neural_path()
+    elif metric == "cascade":
+        bench_neural_cascade()
+    else:
+        raise SystemExit(f"unknown child metric {metric!r}")
+
+
+def _spawn_metric(metric: str, deadline_s: float, extra_args=()):
+    """Run one metric in a subprocess (its own tunnel client — the parent
+    never imports jax, so exactly ONE client exists at a time), streaming
+    its output through. Returns (list of parsed JSON lines, completed)."""
+    import subprocess
+    import sys
+    global _current_proc
+    lines = []
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", metric,
+           *extra_args]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    _current_proc = proc
+    import threading
+
+    def _pump():
+        for raw in proc.stdout:
+            print(raw, end="", flush=True)
+            raw = raw.strip()
+            if raw.startswith("{") and raw.endswith("}"):
+                try:
+                    lines.append(json.loads(raw))
+                except json.JSONDecodeError:
+                    pass
+
+    t = threading.Thread(target=_pump, daemon=True)
+    t.start()
+    try:
+        proc.wait(timeout=max(1.0, deadline_s))
+        completed = proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        completed = False
+    t.join(timeout=10)
+    _current_proc = None
+    return lines, completed
+
+
+_current_proc = None
+
+
+def main():
+    import signal
+    import sys
+
+    # Total wall budget: the driver SIGTERMs at 2700 s (observed r02);
+    # finish everything with margin. Per-metric caps keep one runaway
+    # remote compile from eating the whole window.
+    budget_s = float(os.environ.get("IBL_BENCH_BUDGET_S", "2250"))
+
+    def remaining():
+        return budget_s - (time.monotonic() - _START)
+
+    profile_args = ()
+    if "--profile" in sys.argv:   # jax.profiler trace of the e2e stage
+        profile_args = ("--profile", sys.argv[sys.argv.index("--profile") + 1])
+
+    cpu_fallback = (False if os.environ.get("IBL_BENCH_FAKE")
+                    else not _device_reachable())
+    if cpu_fallback:
+        os.environ["JAX_PLATFORMS"] = "cpu"
         print(json.dumps({
             "metric": "platform_note", "value": 0,
             "unit": "TPU unreachable within 240s; results below are CPU "
-                    "fallback, not chip numbers", "vs_baseline": None}))
-    # The HEADLINE metric runs FIRST and its JSON prints immediately, so a
-    # driver-side timeout that kills the run mid-way through the (compile-
-    # heavy, ~20 min over the tunnel) neural metrics still leaves a valid
-    # metric as the last JSON line of the captured output.
-    if profile_dir:
-        from instance_based_loc_tpu.utils.profiling import device_trace
-        with device_trace(profile_dir):
-            fps = bench_e2e()
-    else:
-        fps = bench_e2e()
-    e2e_line = json.dumps({
-        "metric": "e2e_localisation_fps_per_chip",
-        "value": round(fps, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
-    })
-    print(e2e_line, flush=True)
+                    "fallback, not chip numbers", "vs_baseline": None}),
+            flush=True)
 
-    # The driver parses the LAST line of the captured output, and its
-    # timeout may SIGTERM this process anywhere inside the compile-heavy
-    # (~20-40 min over the tunnel) neural metrics. Two layers of
-    # kill-safety keep the headline metric last no matter where the run
-    # dies: (1) the headline line is reprinted after EVERY subsequent
-    # metric print, so even an uncatchable kill (SIGKILL, or SIGTERM
-    # landing while blocked in a remote-compile C call that never returns
-    # to the interpreter) leaves it as the last flushed JSON line; (2) a
-    # SIGTERM/SIGINT handler flushes and reprints it on the way out.
-    import signal
+    fail_line = json.dumps({
+        "metric": "e2e_localisation_fps_per_chip", "value": 0.0,
+        "unit": "frames/sec (headline metric did not complete in budget)",
+        "vs_baseline": 0.0})
+    e2e_line = fail_line
 
+    # Last-line kill-safety: reprint the headline on SIGTERM/SIGINT and
+    # exit with the conventional 128+signum status (the driver parses the
+    # last captured line either way; a nonzero status correctly marks the
+    # run as interrupted instead of masquerading as success).
     def _reprint_and_exit(signum, frame):
+        if _current_proc is not None:   # no orphan tunnel client survives
+            try:
+                _current_proc.kill()
+            except OSError:
+                pass
         sys.stdout.flush()
         print("\n" + e2e_line, flush=True)
-        os._exit(0)
+        os._exit(128 + signum)
 
     signal.signal(signal.SIGTERM, _reprint_and_exit)
     signal.signal(signal.SIGINT, _reprint_and_exit)
 
-    bench_neural_path()
+    # HEADLINE first — its JSON is on the wire before any compile-heavy
+    # neural metric can blow the window.
+    lines, _ = _spawn_metric("e2e", min(remaining(), 900), profile_args)
+    for ln in lines:
+        if ln.get("metric") == "e2e_localisation_fps_per_chip":
+            e2e_line = json.dumps(ln)
+
+    # cascade second (the round-3 tracked metric), vit last (cheap).
+    skip_line = {"vit": None, "cascade": None}
+    cascade_est = 1200.0 if not cpu_fallback else 1e9  # remote-compile bound
+    if not cpu_fallback and remaining() > 300:
+        _, done = _spawn_metric("cascade", min(remaining() - 120,
+                                               cascade_est))
+        if not done:
+            skip_line["cascade"] = "killed at wall budget (remote compile)"
+    else:
+        skip_line["cascade"] = ("CPU fallback — SAM-H@1024 + GDINO@800 are "
+                                "not a CPU workload" if cpu_fallback
+                                else "skipped: insufficient budget")
+    if skip_line["cascade"]:
+        print(json.dumps({"metric": "cascade_frames_per_sec", "value": 0.0,
+                          "unit": f"SKIPPED: {skip_line['cascade']}",
+                          "vs_baseline": None}), flush=True)
     print(e2e_line, flush=True)
-    if not cpu_fallback:   # SAM-H@1024 + GDINO@800 are not a CPU workload
-        bench_neural_cascade()
-        print(e2e_line, flush=True)
+
+    if remaining() > 120:
+        _, done = _spawn_metric("vit", min(remaining() - 30, 600))
+        if not done:
+            print(json.dumps({
+                "metric": "vit_embed_frames_per_sec", "value": 0.0,
+                "unit": "SKIPPED: killed at wall budget",
+                "vs_baseline": None}), flush=True)
+    print(e2e_line, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        metric = sys.argv[i + 1]
+        pdir = None
+        if "--profile" in sys.argv:
+            pdir = sys.argv[sys.argv.index("--profile") + 1]
+        _run_child(metric, pdir)
+    else:
+        main()

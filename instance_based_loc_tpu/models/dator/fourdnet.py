@@ -22,7 +22,7 @@ TPU-first: instead of the reference's manual 2-GPU model parallelism with
 explicit `.to()` hops (make_model.py:460-463), the two towers are STACKED
 along a leading tower axis and vmapped; sharding that axis over the mesh's
 "model" axis gives the same parallelism with zero code in the model (see
-parallel/sharding.py). grid_sample becomes a vectorized gather
+parallel/mesh.py and parallel/serving.py). grid_sample becomes a vectorized gather
 (`bilinear_sample`, align_corners=True semantics).
 """
 

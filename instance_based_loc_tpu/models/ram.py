@@ -15,7 +15,7 @@ Full inference architecture (Zhang et al., 2023 — query2label tagging):
 * a 2-layer Q2L decoder (bidirectional self-attention over the tag queries,
   cross-attention to the image memory, FFN — BERT post-LN layout); layer
   math is parity-tested against torch BertLayer in
-  tests/test_ram_tagging_head.py;
+  tests/test_ram.py;
 * a shared Linear 768 -> 1 scores every tag; sigmoid > per-class threshold
   (default 0.68) selects the caption tags.
 
