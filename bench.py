@@ -50,13 +50,17 @@ def bench_neural_path():
 
     # deployment precision: bf16 MXU inference (models/precision.py policy,
     # same as the cascade metric); IBL_MODEL_DTYPE=float32 to measure f32
+    from instance_based_loc_tpu.models.init_utils import host_random_params
+
     cdt = resolve_compute_dtype()
     cfg = dataclasses.replace(ViTConfig(), dtype=cdt)
     model = ViT(cfg)
-    rng = jax.random.PRNGKey(0)
     crops_per_frame = 8
+    # host-side random params: model.init is a remote compile over the
+    # tunnel (perf/cascade_compile_probe.py) and deployment params come
+    # from porters anyway
     params = cast_params(
-        model.init(rng, jnp.zeros((1, 224, 224, 3), cdt)), cdt)
+        host_random_params(model, 0, jnp.zeros((1, 224, 224, 3), cdt)), cdt)
 
     @jax.jit
     def embed(params, x):
@@ -117,12 +121,16 @@ def bench_neural_cascade():
     from instance_based_loc_tpu.models.sam import Sam, SamConfig
     from instance_based_loc_tpu.models.precision import (resolve_compute_dtype,
                                                          cast_params)
+    from instance_based_loc_tpu.models.init_utils import host_random_params
 
     # deployment precision: bf16 MXU inference with f32-mastered weights
     # (models/precision.py; IBL_MODEL_DTYPE=float32 to measure f32)
+    # Params are synthesized on HOST (eval_shape + numpy): the three
+    # model.init calls were 1348 s of remote compile — 73% of the r02/r03
+    # cascade setup that kept blowing the driver window
+    # (perf/cascade_compile_probe.py attribution).
     cdt = resolve_compute_dtype()
     cdt_name = np.dtype(cdt).name
-    rng = jax.random.PRNGKey(0)
 
     ram_cfg = RamConfig()
     ram_cfg = dataclasses.replace(
@@ -130,7 +138,7 @@ def bench_neural_cascade():
     ram = Ram(ram_cfg)
     ram_in = jnp.zeros((1, ram_cfg.backbone.img_size,
                         ram_cfg.backbone.img_size, 3), cdt)
-    ram_params = cast_params(ram.init(rng, ram_in), cdt)
+    ram_params = cast_params(host_random_params(ram, 0, ram_in), cdt)
     ram_apply = jax.jit(lambda p, x: jax.nn.sigmoid(
         ram.apply(p, x).astype(jnp.float32)))
 
@@ -144,7 +152,7 @@ def bench_neural_cascade():
     gd_args = (jnp.zeros((1, 800, 800, 3), cdt), jnp.asarray(ids),
                jnp.asarray(allowed), jnp.asarray(position_ids),
                jnp.asarray(ids != 0))
-    gd_params = cast_params(gdino.init(rng, *gd_args), cdt)
+    gd_params = cast_params(host_random_params(gdino, 0, *gd_args), cdt)
     gd_apply = jax.jit(gdino.apply)
 
     # reference deployment scale: SAM ViT-H (sam_vit_h_4b8939,
@@ -156,7 +164,8 @@ def bench_neural_cascade():
     n_boxes = 8
     sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), cdt)
     sam_boxes = jnp.zeros((n_boxes, 4), jnp.float32)
-    sam_params = cast_params(sam.init(rng, sam_img, sam_boxes), cdt)
+    sam_params = cast_params(
+        host_random_params(sam, 0, sam_img, sam_boxes), cdt)
     sam_apply = jax.jit(sam.apply)
 
     # chunked cascade serving (IBL_CASCADE_CHUNK=F): RAM batches F frames

@@ -49,8 +49,13 @@ SPECIAL_TOKEN_IDS = (101, 102, 1012, 1029)
 
 @dataclasses.dataclass(frozen=True)
 class GDinoConfig:
+    # Deployment backbone = the grounding-dino-base checkpoint's Swin-B-384:
+    # embed 128, depths [2,2,18,2], heads [4,8,16,32], WINDOW 12 (not the
+    # Swin-B-224 window 7 — rel-bias tables are (2w-1)^2 x heads, so a
+    # window-7 config cannot load the real weights; caught at deployment
+    # scale by tests/test_fullscale_parity.py).
     backbone: SwinConfig = dataclasses.field(
-        default_factory=lambda: SwinConfig(backbone_norms=True))
+        default_factory=lambda: SwinConfig(backbone_norms=True, window=12))
     text: BertConfig = dataclasses.field(default_factory=BertConfig)
     img_size: int = 800                 # square resize side
     d_model: int = 256
@@ -577,6 +582,20 @@ def port_hf_gdino_params(state_dict, cfg: GDinoConfig):
         if key + ".weight" in sd:
             p["backbone"][f"outnorm{s}"] = _ln(
                 sd, key)
+    # Stages outside out_stages (stage 0 for the deployment SwinB config,
+    # whose out_features are stage2-4) have no norm in the checkpoint; the
+    # flax module still owns an outnorm slot for them. Their features are
+    # never consumed by GroundingDino (sources read only out_stages), so an
+    # identity fill is exact — XLA prunes the dead compute under jit.
+    # Caught by tests/test_fullscale_parity.py (invisible at tiny scale
+    # where out_stages covered every stage).
+    if cfg.backbone.backbone_norms:
+        for s in range(len(cfg.backbone.depths)):
+            if f"outnorm{s}" not in p["backbone"]:
+                dim = cfg.backbone.embed_dim * 2 ** s
+                p["backbone"][f"outnorm{s}"] = {
+                    "scale": np.ones((dim,), np.float32),
+                    "bias": np.zeros((dim,), np.float32)}
     p["text_backbone"] = port_hf_bert_params(sd, cfg.text,
                                              prefix="model.text_backbone.")
     p["text_projection"] = _lin(sd, "model.text_projection")
@@ -685,11 +704,15 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     model = GroundingDino(cfg)
 
     if checkpoint_path is None:
+        # random_init: host-synthesized params — model.init is a remote
+        # compile over the tunnel (668 s at SwinB@800,
+        # perf/cascade_compile_probe.py) and the values are arbitrary here
+        from .init_utils import host_random_params
         ids0 = np.zeros((1, 8), np.int32)
         ids0[0, :3] = [tokenizer.cls_id, 1000, tokenizer.sep_id]
         allowed0, position_ids0 = make_text_masks(ids0)
-        params = model.init(
-            jax.random.PRNGKey(0),
+        params = host_random_params(
+            model, 0,
             jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32),
             jnp.asarray(ids0), jnp.asarray(allowed0),
             jnp.asarray(position_ids0), jnp.asarray(ids0 != 0))

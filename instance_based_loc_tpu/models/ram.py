@@ -244,8 +244,12 @@ def build_ram_tagger(checkpoint_path: str | None = None,
     if checkpoint_path is not None:
         params, class_thresholds = port_ram_params(checkpoint_path, cfg)
     else:
-        params = model.init(
-            jax.random.PRNGKey(0),
+        # random_init path: host-synthesized params — model.init is a
+        # remote compile over the tunnel (390 s at Swin-L@384,
+        # perf/cascade_compile_probe.py) and the values are arbitrary here
+        from .init_utils import host_random_params
+        params = host_random_params(
+            model, 0,
             jnp.zeros((1, cfg.backbone.img_size, cfg.backbone.img_size, 3),
                       jnp.float32))
         class_thresholds = None

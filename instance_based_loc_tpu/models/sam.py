@@ -255,9 +255,17 @@ class TwoWayBlock(nn.Module):
             o = o.reshape(*q.shape[:-1], dim)
             return nn.Dense(c.prompt_dim, name=f"{name}_out")(o)
 
-        # 1. token self-attention
-        q = tokens if self.skip_first_pe else tokens + token_pe
-        tokens = nn.LayerNorm(epsilon=1e-5, name="ln1")(tokens + attention(q, q, tokens, "self"))
+        # 1. token self-attention. skip_first_pe (decoder block 0) REPLACES
+        # the tokens with the attention output — official TwoWayAttentionBlock
+        # has no residual on that branch (caught by the full-scale parity
+        # test; the residual variant was within tiny-scale tolerance).
+        if self.skip_first_pe:
+            tokens = nn.LayerNorm(epsilon=1e-5, name="ln1")(
+                attention(tokens, tokens, tokens, "self"))
+        else:
+            q = tokens + token_pe
+            tokens = nn.LayerNorm(epsilon=1e-5, name="ln1")(
+                tokens + attention(q, q, tokens, "self"))
         # 2. token -> image cross attention
         q = tokens + token_pe
         k = image + image_pe
@@ -401,16 +409,33 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
     logits are compared against 0 after an f32 upcast."""
     from .precision import resolve_compute_dtype, cast_params
     dt = resolve_compute_dtype(compute_dtype)
-    # ViT-B sizing by default when running weights-free (H is 32 blocks deep)
-    cfg = cfg or SamConfig(encoder_dim=768, encoder_depth=12, encoder_heads=12,
-                           global_blocks=(2, 5, 8, 11))
-    model = Sam(cfg)
-    rng = jax.random.PRNGKey(0)
-    dummy_img = jnp.zeros((cfg.img_size, cfg.img_size, 3), jnp.float32)
-    dummy_boxes = jnp.zeros((max_boxes, 4), jnp.float32)
-    params = model.init(rng, dummy_img, dummy_boxes)
-    if checkpoint_path:
-        params = port_sam_params(checkpoint_path, cfg, params)
+    if checkpoint_path and cfg is None:
+        # size the model from the checkpoint: the reference deploys ViT-H
+        # (sam_vit_h_4b8939) but B/L files must load identically
+        import torch
+        sd = torch.load(checkpoint_path, map_location="cpu",
+                        weights_only=True)
+        sd = {k: v.numpy() for k, v in sd.items()}
+        cfg = sam_config_from_state_dict(sd)
+        params = _sam_flax_params(sd, cfg, _OFFICIAL_NAMES)
+        model = Sam(cfg)
+    elif checkpoint_path:
+        cfg_ = cfg
+        params = port_sam_params(checkpoint_path, cfg_)
+        model = Sam(cfg_)
+        cfg = cfg_
+    else:
+        # ViT-B sizing by default when running weights-free (H is 32 deep);
+        # params synthesized on host — model.init is a remote compile over
+        # the tunnel (290 s for H-scale, perf/cascade_compile_probe.py)
+        # and its values are arbitrary here
+        from .init_utils import host_random_params
+        cfg = cfg or SamConfig(encoder_dim=768, encoder_depth=12,
+                               encoder_heads=12, global_blocks=(2, 5, 8, 11))
+        model = Sam(cfg)
+        dummy_img = jnp.zeros((cfg.img_size, cfg.img_size, 3), jnp.float32)
+        dummy_boxes = jnp.zeros((max_boxes, 4), jnp.float32)
+        params = host_random_params(model, 0, dummy_img, dummy_boxes)
     params = cast_params(params, dt)
 
     def _canvas_jax(raw):
@@ -637,6 +662,31 @@ def port_sam_params(checkpoint_path: str, cfg: SamConfig, init_params=None):
     sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
     return _sam_flax_params(sd, cfg, _OFFICIAL_NAMES)
+
+
+def sam_config_from_state_dict(sd, img_size: int = 1024,
+                               **overrides) -> SamConfig:
+    """Infer the encoder variant (B/L/H) from an official-layout state
+    dict: width from patch_embed, depth from the block count, global blocks
+    from rel-pos table length (windowed blocks carry 2*14-1=27 rows; global
+    blocks are sized by the full grid). Deployment-path requirement: the
+    reference ships sam_vit_h_4b8939 (object_finder.py:116) while the
+    weights-free default here is ViT-B — without inference a real H
+    checkpoint would be ported into B-shaped params and fail."""
+    import re
+    dim = int(sd["image_encoder.patch_embed.proj.weight"].shape[0])
+    blocks = sorted({int(m.group(1)) for k in sd
+                     if (m := re.match(r"image_encoder\.blocks\.(\d+)\.", k))})
+    depth = blocks[-1] + 1
+    window_rows = 2 * 14 - 1
+    global_blocks = tuple(
+        i for i in blocks
+        if sd[f"image_encoder.blocks.{i}.attn.rel_pos_h"].shape[0]
+        != window_rows)
+    heads = {768: 12, 1024: 16, 1280: 16}.get(dim, max(1, dim // 80))
+    return SamConfig(img_size=img_size, encoder_dim=dim,
+                     encoder_depth=depth, encoder_heads=heads,
+                     global_blocks=global_blocks, **overrides)
 
 
 def port_hf_sam_params(state_dict, cfg: SamConfig):
