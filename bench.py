@@ -59,8 +59,8 @@ def bench_neural_path():
     # host-side random params: model.init is a remote compile over the
     # tunnel (perf/cascade_compile_probe.py) and deployment params come
     # from porters anyway
-    params = cast_params(
-        host_random_params(model, 0, jnp.zeros((1, 224, 224, 3), cdt)), cdt)
+    params = jax.device_put(cast_params(
+        host_random_params(model, 0, jnp.zeros((1, 224, 224, 3), cdt)), cdt))
 
     @jax.jit
     def embed(params, x):
@@ -138,7 +138,9 @@ def bench_neural_cascade():
     ram = Ram(ram_cfg)
     ram_in = jnp.zeros((1, ram_cfg.backbone.img_size,
                         ram_cfg.backbone.img_size, 3), cdt)
-    ram_params = cast_params(host_random_params(ram, 0, ram_in), cdt)
+    # device_put each tree: host-synthesized params are numpy and would
+    # otherwise re-upload per call
+    ram_params = jax.device_put(cast_params(host_random_params(ram, 0, ram_in), cdt))
     ram_apply = jax.jit(lambda p, x: jax.nn.sigmoid(
         ram.apply(p, x).astype(jnp.float32)))
 
@@ -152,7 +154,18 @@ def bench_neural_cascade():
     gd_args = (jnp.zeros((1, 800, 800, 3), cdt), jnp.asarray(ids),
                jnp.asarray(allowed), jnp.asarray(position_ids),
                jnp.asarray(ids != 0))
-    gd_params = cast_params(host_random_params(gdino, 0, *gd_args), cdt)
+    gd_params_f32 = host_random_params(gdino, 0, *gd_args)
+    # serving path: word embeddings looked up on HOST, vocab table dropped
+    # from the device tree (build_gdino_grounder does the same)
+    table = np.asarray(gd_params_f32["params"]["text_backbone"]
+                       ["word_embeddings"]["embedding"], np.float32)
+    gd_params_f32 = {"params": {
+        **gd_params_f32["params"],
+        "text_backbone": {k: v for k, v in
+                          gd_params_f32["params"]["text_backbone"].items()
+                          if k != "word_embeddings"}}}
+    gd_params = jax.device_put(cast_params(gd_params_f32, cdt))
+    gd_args = gd_args + (jnp.asarray(table[np.clip(ids, 0, len(table) - 1)]),)
     gd_apply = jax.jit(gdino.apply)
 
     # reference deployment scale: SAM ViT-H (sam_vit_h_4b8939,
@@ -164,8 +177,8 @@ def bench_neural_cascade():
     n_boxes = 8
     sam_img = jnp.zeros((sam_cfg.img_size, sam_cfg.img_size, 3), cdt)
     sam_boxes = jnp.zeros((n_boxes, 4), jnp.float32)
-    sam_params = cast_params(
-        host_random_params(sam, 0, sam_img, sam_boxes), cdt)
+    sam_params = jax.device_put(cast_params(
+        host_random_params(sam, 0, sam_img, sam_boxes), cdt))
     sam_apply = jax.jit(sam.apply)
 
     # chunked cascade serving (IBL_CASCADE_CHUNK=F): RAM batches F frames

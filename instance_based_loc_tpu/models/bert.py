@@ -94,9 +94,15 @@ class BertEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
-                 position_ids=None):
+                 position_ids=None, word_embeds=None):
         """input_ids (B, T) int32. attention_mask: (B, T) 1=real, or
         (B, T, T) bool allowed-pairs (GroundingDINO's block-diagonal mask).
+        `word_embeds` (B, T, D): pre-looked-up word embeddings — the serving
+        path computes the (tiny) vocab lookup on HOST and feeds rows in,
+        which drops the whole vocab table from the device program (the
+        on-device alternatives both stage the 30522x768 table through slow
+        memory: ~22 ms for jnp.take, ~11 ms as one-hot matmul — measured in
+        perf/bert_embed_probe.py / gdino_trace.py copy-starts).
         Returns last hidden state (B, T, D)."""
         c = self.cfg
         b, t = input_ids.shape
@@ -105,8 +111,11 @@ class BertEncoder(nn.Module):
         if token_type_ids is None:
             token_type_ids = jnp.zeros((b, t), jnp.int32)
 
-        word = OneHotEmbed(c.vocab_size, c.hidden_size,
-                           name="word_embeddings")(input_ids)
+        if word_embeds is not None:
+            word = word_embeds
+        else:
+            word = OneHotEmbed(c.vocab_size, c.hidden_size,
+                               name="word_embeddings")(input_ids)
         pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
                        name="position_embeddings")(position_ids)
         typ = nn.Embed(c.type_vocab_size, c.hidden_size,

@@ -401,16 +401,20 @@ class GroundingDino(nn.Module):
 
     @nn.compact
     def __call__(self, images, input_ids, text_allowed, position_ids,
-                 text_token_mask):
+                 text_token_mask, text_embeds=None):
         """images (B, H, W, 3) normalized; input_ids (B, T);
         text_allowed (B, T, T) bool (make_text_masks); position_ids (B, T);
-        text_token_mask (B, T) bool, True = real token."""
+        text_token_mask (B, T) bool, True = real token. `text_embeds`
+        (B, T, D_bert): host-side word-embedding rows — the serving path
+        passes these so the 30522x768 vocab table never enters the device
+        program (saves ~11 ms/forward of table staging, gdino_trace.py)."""
         c = self.cfg
         b = images.shape[0]
 
         text = BertEncoder(c.text, name="text_backbone")(
             input_ids, text_allowed.astype(jnp.float32),
-            jnp.zeros_like(input_ids), position_ids)
+            jnp.zeros_like(input_ids), position_ids,
+            word_embeds=text_embeds)
         text = nn.Dense(c.d_model, name="text_projection")(text)
         # keep text in the deployment compute dtype: BERT runs f32 internally
         # and an f32 `text` would promote the whole fusion encoder (and thus
@@ -727,6 +731,19 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
         with open(checkpoint_path, "rb") as f:
             params = pickle.load(f)
 
+    # host-side word-embedding lookup: keep the f32 table on host, DROP it
+    # from the device tree (the on-device lookup staged the 47 MB table
+    # through slow memory every forward, ~11 ms + upload/HBM cost;
+    # gdino_trace.py copy-starts). T is ~16 rows — the lookup is free here.
+    vocab_table = np.asarray(
+        params["params"]["text_backbone"]["word_embeddings"]["embedding"],
+        np.float32)
+    params = {"params": {**params["params"],
+                         "text_backbone": {
+                             k: v for k, v in
+                             params["params"]["text_backbone"].items()
+                             if k != "word_embeddings"}}}
+
     # bf16 inference by default (models/precision.py); box-score
     # thresholding reads f32-upcast sigmoids
     params = cast_params(params, dt)
@@ -737,14 +754,16 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     params = jax.device_put(params)
 
     @jax.jit
-    def apply(p, raw, input_ids, allowed, position_ids, token_mask):
+    def apply(p, raw, input_ids, allowed, position_ids, token_mask,
+              text_embeds):
         # u8 frames in; resize+normalize fused into the model program
         # (parallel/cascade_serving.py device_preprocess)
         from ..parallel.cascade_serving import device_preprocess
         images = device_preprocess(raw, cfg.img_size,
                                    IMAGENET_MEAN, IMAGENET_STD)
         logits, boxes = model.apply(p, images.astype(dt), input_ids,
-                                    allowed, position_ids, token_mask)
+                                    allowed, position_ids, token_mask,
+                                    text_embeds=text_embeds)
         return logits.astype(jnp.float32), boxes.astype(jnp.float32)
 
     def _run(raw_batch, ids):
@@ -763,10 +782,12 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
             ids = np.pad(ids, ((0, 0), (0, tp - t)))
         allowed, position_ids = make_text_masks(ids)
         token_mask = ids != 0
+        text_embeds = vocab_table[np.clip(ids, 0, len(vocab_table) - 1)]
         logits, boxes = apply(params, jnp.asarray(raw_batch),
                               jnp.asarray(ids),
                               jnp.asarray(allowed), jnp.asarray(position_ids),
-                              jnp.asarray(token_mask))
+                              jnp.asarray(token_mask),
+                              jnp.asarray(text_embeds))
         return (np.asarray(jax.nn.sigmoid(logits[..., :t])),
                 np.asarray(boxes))
 

@@ -255,7 +255,10 @@ def build_ram_tagger(checkpoint_path: str | None = None,
         class_thresholds = None
     if class_thresholds is None:
         class_thresholds = np.full((cfg.num_tags,), threshold, np.float32)
-    params = cast_params(params, dt)
+    # device_put: porter/host trees are numpy — as bare jit args they
+    # would re-upload the full weights EVERY call (~100 s/call for
+    # H-scale trees over the tunnel)
+    params = jax.device_put(cast_params(params, dt))
 
     @jax.jit
     def apply(p, raw):

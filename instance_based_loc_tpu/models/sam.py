@@ -145,13 +145,29 @@ class SamAttention(nn.Module):
 class SamBlock(nn.Module):
     cfg: SamConfig
     use_window: bool
+    # pre_partitioned: the residual stream arrives ALREADY in window layout
+    # (B*nW, win, win, C) with `pad_mask` marking real cells. Consecutive
+    # windowed blocks then skip the per-block partition/unpartition
+    # transposes — ~2 full-map layout copies per block at H-scale
+    # (the dominant SAM-H cost in perf/sam_trace.py: dozens of
+    # bf16[1,64,64,1280] copy-starts). Bit-exact with the official
+    # semantics: pads are re-zeroed POST-norm each block (official pads the
+    # normed map with zeros at every partition), pad-cell residuals are
+    # garbage but never read back into real cells (windows are
+    # independent), and the group is unpartitioned before any global block.
+    pre_partitioned: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pad_mask=None):
         c = self.cfg
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        if self.use_window:
+        if self.use_window and self.pre_partitioned:
+            if pad_mask is not None:
+                h = jnp.where(pad_mask, h, jnp.zeros((), h.dtype))
+            h = SamAttention(c, (c.window_size, c.window_size),
+                             name="attn")(h)
+        elif self.use_window:
             win = c.window_size
             orig = h.shape[1:3]
             h, padded = _window_partition(h, win)
@@ -179,9 +195,32 @@ class SamImageEncoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, c.grid, c.grid, c.encoder_dim))
         x = x + pos
-        for i in range(c.encoder_depth):
-            x = SamBlock(c, use_window=i not in c.global_blocks,
-                         name=f"block{i}")(x)
+        # runs of consecutive windowed blocks execute in window layout with
+        # ONE partition/unpartition per run (see SamBlock.pre_partitioned)
+        win = c.window_size
+        i = 0
+        while i < c.encoder_depth:
+            if i in c.global_blocks:
+                x = SamBlock(c, use_window=False, name=f"block{i}")(x)
+                i += 1
+                continue
+            j = i
+            while j < c.encoder_depth and j not in c.global_blocks:
+                j += 1
+            orig = x.shape[1:3]
+            xp, padded = _window_partition(x, win)
+            mask = None
+            if padded != tuple(orig):
+                ones = jnp.ones((1,) + tuple(orig) + (1,), x.dtype)
+                mask = _window_partition(ones, win)[0] > 0.5
+                reps = xp.shape[0] // mask.shape[0]   # batch repeats
+                if reps > 1:
+                    mask = jnp.tile(mask, (reps, 1, 1, 1))
+            for k in range(i, j):
+                xp = SamBlock(c, use_window=True, pre_partitioned=True,
+                              name=f"block{k}")(xp, pad_mask=mask)
+            x = _window_unpartition(xp, win, padded, orig)
+            i = j
         # neck: 1x1 conv -> LN -> 3x3 conv -> LN, to prompt_dim channels
         x = nn.Conv(c.prompt_dim, (1, 1), use_bias=False, name="neck0")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="neck_ln0")(x)
@@ -436,7 +475,9 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
         dummy_img = jnp.zeros((cfg.img_size, cfg.img_size, 3), jnp.float32)
         dummy_boxes = jnp.zeros((max_boxes, 4), jnp.float32)
         params = host_random_params(model, 0, dummy_img, dummy_boxes)
-    params = cast_params(params, dt)
+    # device_put: porter/host trees are numpy — as bare jit args they
+    # would re-upload the full weights EVERY call
+    params = jax.device_put(cast_params(params, dt))
 
     def _canvas_jax(raw):
         """Traced: raw u8 frames (..., H, W, 3) -> normalized 1024-canvas

@@ -69,6 +69,32 @@ def _tap_index_weights(loc, hh: int, ww: int):
     return taps
 
 
+def _tap_index_weights_bcast(loc, hh: int, ww: int):
+    """Bilinear taps as ONE broadcasted (..., 4) expression — tap id
+    t ∈ {0..3} maps to (dy, dx) = (t>>1, t&1). Same math as
+    _tap_index_weights but with no jnp.stack(axis=-1): the stacked form
+    forced XLA layout copies of every (Q, H, K, 4) index/weight tensor
+    (~13 ms/forward of s32/pred/bf16 copies at GDINO@800 in
+    perf/gdino_trace.py); the iota form fuses into the index computation."""
+    x = loc[..., 0] * ww - 0.5
+    y = loc[..., 1] * hh - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = (x - x0)[..., None]
+    wy1 = (y - y0)[..., None]
+    t = jnp.arange(4, dtype=jnp.int32)                           # (4,)
+    is_x1 = (t & 1) == 1
+    is_y1 = (t >> 1) == 1
+    yy = y0[..., None] + is_y1.astype(y0.dtype)
+    xx = x0[..., None] + is_x1.astype(x0.dtype)
+    inside = (xx >= 0) & (xx <= ww - 1) & (yy >= 0) & (yy <= hh - 1)
+    wgt = (jnp.where(is_x1, wx1, 1.0 - wx1)
+           * jnp.where(is_y1, wy1, 1.0 - wy1)) * inside
+    yi = jnp.clip(yy, 0, hh - 1).astype(jnp.int32)
+    xi = jnp.clip(xx, 0, ww - 1).astype(jnp.int32)
+    return yi, xi, wgt                                           # (...,4) each
+
+
 def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     """Flat-gather lowering for one level.
 
@@ -77,12 +103,9 @@ def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     s_l, h, d = vmap_l.shape
     q, _, k, _ = loc.shape
     flat = vmap_l.reshape(s_l * h, d)
-    taps = _tap_index_weights(loc, hh, ww)
+    yi, xi, wts = _tap_index_weights_bcast(loc, hh, ww)
     hidx = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]   # (1,H,1,1)
-    lin = jnp.stack([(yi * ww + xi) * h for (yi, xi, _) in taps],
-                    axis=-1) + hidx                              # (Q,H,K,4)
-    wts = jnp.stack([w for (_, _, w) in taps],
-                    axis=-1)                                     # f32 (Q,H,K,4)
+    lin = (yi * ww + xi) * h + hidx                              # (Q,H,K,4)
     gathered = jnp.take(flat, lin.reshape(-1), axis=0)
     gathered = gathered.reshape(q, h, k, 4, d)
     # ONE fused pass: fold the bilinear tap weights and the attention

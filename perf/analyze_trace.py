@@ -36,7 +36,7 @@ for f in files:
                 line_span[line.name] = (t1 - t0) / 1e9
         for name, span in line_span.items():
             print(f"  line {name}: span {span:.1f} ms, ")
-        top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:35]
+        top = sorted(agg.items(), key=lambda kv: -kv[1][0])[:int(sys.argv[2]) if len(sys.argv) > 2 else 35]
         tot = sum(v[0] for v in agg.values())
         print(f"  total summed op time {tot:.1f} ms")
         for name, (ms, n) in top:

@@ -43,7 +43,7 @@ def main():
 
     cdt = resolve_compute_dtype()
     rng = jax.random.PRNGKey(0)
-    chunk = 4
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     mark(f"start (backend={jax.default_backend()}, dtype={np.dtype(cdt).name})")
 
     # --- RAM ---

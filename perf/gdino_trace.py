@@ -41,7 +41,19 @@ def main():
     args = (jnp.zeros((1, 800, 800, 3), cdt), jnp.asarray(ids),
             jnp.asarray(allowed), jnp.asarray(position_ids),
             jnp.asarray(ids != 0))
-    params = cast_params(model.init(rng, *args), cdt)
+    from instance_based_loc_tpu.models.init_utils import host_random_params
+    params_f32 = host_random_params(model, 0, *args)
+    # serving path: host word-embedding lookup, vocab table dropped
+    table = np.asarray(params_f32["params"]["text_backbone"]
+                       ["word_embeddings"]["embedding"], np.float32)
+    params_f32 = {"params": {
+        **params_f32["params"],
+        "text_backbone": {k: v for k, v in
+                          params_f32["params"]["text_backbone"].items()
+                          if k != "word_embeddings"}}}
+    args = args + (jnp.asarray(table[np.clip(ids, 0, len(table) - 1)]),)
+    params = jax.device_put(cast_params(params_f32, cdt))
+    jax.block_until_ready(params)
     apply = jax.jit(model.apply)
 
     def sync(out):

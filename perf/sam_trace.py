@@ -37,7 +37,9 @@ def main():
     sam = Sam(cfg)
     img = jnp.zeros((cfg.img_size, cfg.img_size, 3), cdt)
     boxes = jnp.zeros((8, 4), jnp.float32)
-    params = cast_params(sam.init(rng, img, boxes), cdt)
+    from instance_based_loc_tpu.models.init_utils import host_random_params
+    params = jax.device_put(cast_params(host_random_params(sam, 0, img, boxes), cdt))
+    jax.block_until_ready(params)
     apply = jax.jit(sam.apply)
 
     def sync(out):

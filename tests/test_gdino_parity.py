@@ -233,6 +233,27 @@ def test_text_length_bucketing_parity(tmp_path):
     np.testing.assert_allclose(got_boxes, np.asarray(boxes)[0], atol=1e-5)
 
 
+def test_host_text_embeds_path_parity():
+    """The serving path feeds host-looked-up word-embedding rows
+    (text_embeds) instead of shipping the vocab table to the device; the
+    two paths must be bit-identical in f32."""
+    cfg = tiny_flax_config()
+    model = GroundingDino(cfg)
+    ids = INPUT_IDS.astype(np.int32)
+    allowed, pos = make_text_masks(ids)
+    args = (jnp.zeros((1, 64, 64, 3), jnp.float32), jnp.asarray(ids),
+            jnp.asarray(allowed), jnp.asarray(pos.astype(np.int32)),
+            jnp.asarray(np.ones_like(ids, bool)))
+    params = model.init(jax.random.PRNGKey(5), *args)
+    table = np.asarray(
+        params["params"]["text_backbone"]["word_embeddings"]["embedding"])
+    ref_logits, ref_boxes = model.apply(params, *args)
+    embeds = jnp.asarray(table[np.clip(ids, 0, len(table) - 1)])
+    logits, boxes = model.apply(params, *args, text_embeds=embeds)
+    np.testing.assert_array_equal(np.asarray(logits), np.asarray(ref_logits))
+    np.testing.assert_array_equal(np.asarray(boxes), np.asarray(ref_boxes))
+
+
 def test_cascade_uses_multi_phrase_grounder():
     from instance_based_loc_tpu.models.cascade import CascadeDetector
     calls = {"single": 0, "multi": 0}
