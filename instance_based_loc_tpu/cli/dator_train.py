@@ -27,20 +27,29 @@ def evaluate(state, sampler, samples, cfg, ablation: str = "both"):
     import jax.numpy as jnp
     from ..models.dator.metrics import cosine_distmat, cmc_map, k_reciprocal_rerank
 
+    # jit once: the raw apply_fn dispatches op-by-op — thousands of remote
+    # ops per batch over the tunnel (measured ~10 min/ablation; ~20 s jitted)
+    apply = jax.jit(
+        lambda p, r, d: state.apply_fn(p, r, d, training=False))
     feats, pids = [], []
     bs = cfg.data.batch_size
     idxs = list(range(len(samples)))
     for start in range(0, len(idxs), bs):
         chunk = idxs[start:start + bs]
+        n_real = len(chunk)
+        if n_real < bs:
+            # pad the tail chunk to the full batch shape: a ragged last
+            # batch is a fresh jit specialization = minutes of remote
+            # compile per ablation over the tunnel
+            chunk = chunk + [chunk[-1]] * (bs - n_real)
         rgb, depth, pid = sampler.load_batch(chunk, cfg.data.height, cfg.data.width)
         if ablation == "zero_rgb":
             rgb = np.zeros_like(rgb)
         elif ablation == "zero_depth":
             depth = np.zeros_like(depth)
-        _, feat = state.apply_fn(state.params, jnp.asarray(rgb),
-                                 jnp.asarray(depth), training=False)
-        feats.append(np.asarray(feat))
-        pids.append(pid)
+        _, feat = apply(state.params, jnp.asarray(rgb), jnp.asarray(depth))
+        feats.append(np.asarray(feat)[:n_real])
+        pids.append(pid[:n_real])
     feats = np.concatenate(feats)
     pids = np.concatenate(pids)
     # query = first sample of each pid; gallery = the rest
