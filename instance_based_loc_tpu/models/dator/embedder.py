@@ -32,9 +32,27 @@ def build_dator_embedder(checkpoint_path: str | None = None,
     if checkpoint_path is not None:
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(checkpoint_path,
-                                     {"params": params})
-            params = restored["params"]
+            try:
+                # template-free restore handles trainer checkpoints whose
+                # head geometry (num_classes) differs from the default
+                # config — the 128-d feature path never reads the head
+                raw = ckptr.restore(checkpoint_path)
+                params = raw["params"] if "params" in raw else raw
+            except Exception:
+                restored = ckptr.restore(checkpoint_path,
+                                         {"params": params})
+                params = restored["params"]
+        # adopt the checkpoint's head geometry (flax validates param
+        # shapes at apply time even though the feature path ignores them)
+        import dataclasses
+        try:
+            ck = params["params"]["classifier"]["kernel"]
+            n_cls = int(ck.shape[-1])
+            if n_cls != cfg.num_classes:
+                cfg = dataclasses.replace(cfg, num_classes=n_cls)
+                model = FourDNet(cfg)
+        except (KeyError, TypeError):
+            pass
 
     @jax.jit
     def apply(rgb_batch, depth_batch):

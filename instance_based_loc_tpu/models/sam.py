@@ -537,14 +537,27 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
     def _prep_boxes(rgb, boxes_xyxy):
         scale = cfg.img_size / max(rgb.shape[:2])
         boxes = np.zeros((max_boxes, 4), np.float32)
-        boxes[: len(boxes_xyxy)] = np.asarray(boxes_xyxy) * scale
+        n = min(len(boxes_xyxy), max_boxes)
+        boxes[:n] = np.asarray(boxes_xyxy[:n]) * scale
         return boxes
 
     def segmenter(rgb, boxes_xyxy):
         raw = np.asarray(rgb, np.uint8)
-        boxes = jnp.asarray(_prep_boxes(raw, boxes_xyxy))
-        masks, _ = apply_masks(params, jnp.asarray(raw), boxes)
-        return np.asarray(masks)[: len(boxes_xyxy)]
+        raw_j = jnp.asarray(raw)
+        # chunk over the static max_boxes prompt slots: a detector can emit
+        # hundreds of proposals (e.g. a low-threshold grounder keeps ~200
+        # of GDINO's 900 queries) and the (max_boxes, 4) program shape is
+        # fixed — crashed here before chunking (round-3 full-scale e2e run)
+        outs = []
+        bx = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4)
+        for start in range(0, len(bx), max_boxes):
+            chunk = bx[start:start + max_boxes]
+            boxes = jnp.asarray(_prep_boxes(raw, chunk))
+            masks, _ = apply_masks(params, raw_j, boxes)
+            outs.append(np.asarray(masks)[: len(chunk)])
+        if not outs:
+            return np.zeros((0,) + raw.shape[:2], bool)
+        return np.concatenate(outs)
 
     mesh_cache: dict = {}
 
@@ -555,8 +568,11 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
         if not len(frames):
             return []
         frames = [np.asarray(f, np.uint8) for f in frames]
-        if any(f.shape != frames[0].shape for f in frames):
-            # mixed frame geometry: per-frame programs (shapes are static)
+        if (any(f.shape != frames[0].shape for f in frames)
+                or any(len(b) > max_boxes for b in boxes_list)):
+            # mixed frame geometry (shapes are static) or a frame whose
+            # proposal count exceeds the prompt slots: per-frame programs
+            # (segmenter chunks over max_boxes)
             return [segmenter(f, b) for f, b in zip(frames, boxes_list)]
         n = padded_count(len(frames), serving_mesh)
         raws = pad_stacked(np.stack(frames), n)

@@ -61,10 +61,13 @@ def preprocess_crop(crop: np.ndarray, variant: str, size: int = 224) -> np.ndarr
 
 def load_params(model: ViT, cfg: ViTConfig, variant: str,
                 checkpoint_path: str | None, rng_seed: int = 0):
-    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(rng_seed), dummy)
     if checkpoint_path is None:
-        return params
+        # host-synthesized random params: model.init is a remote compile
+        # over the tunnel and the values are arbitrary here
+        from .init_utils import host_random_params
+        dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
+                          jnp.float32)
+        return host_random_params(model, rng_seed, dummy)
     if checkpoint_path.endswith(".npz"):
         import pickle
         flat = np.load(checkpoint_path, allow_pickle=True)
@@ -87,13 +90,17 @@ def build_vit_embedder(variant: str = "vit", checkpoint_path: str | None = None,
     key = "dinov2" if variant == "dino" else variant
     cfg = VARIANTS[key]
     model = ViT(cfg)
-    params = load_params(model, cfg, variant, checkpoint_path)
+    # explicit jit argument + device_put: closure-constant params serialize
+    # into the program body (blows the axon remote-compile 413 limit at
+    # ViT-B scale — hit by the round-3 full-scale e2e run) and numpy trees
+    # as bare args would re-upload per call
+    params = jax.device_put(load_params(model, cfg, variant, checkpoint_path))
     if l2_normalize is None:
         l2_normalize = variant == "clip"  # reference normalizes CLIP only (:48)
 
     @jax.jit
-    def apply(batch):
-        cls, _ = model.apply(params, batch)
+    def apply(p, batch):
+        cls, _ = model.apply(p, batch)
         if l2_normalize:
             cls = cls / jnp.maximum(jnp.linalg.norm(cls, axis=-1, keepdims=True), 1e-12)
         return cls
@@ -110,7 +117,8 @@ def build_vit_embedder(variant: str = "vit", checkpoint_path: str | None = None,
             batch[:] = 0
             for i, crop in enumerate(chunk):
                 batch[i] = preprocess_crop(crop, variant, cfg.image_size)
-            outs.append(np.asarray(apply(jnp.asarray(batch)))[: len(chunk)])
+            outs.append(np.asarray(apply(params,
+                                         jnp.asarray(batch)))[: len(chunk)])
         return np.concatenate(outs)[:n]
 
     return embed
