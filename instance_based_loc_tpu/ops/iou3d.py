@@ -231,6 +231,29 @@ def pairwise_obb_iou(points: jax.Array, masks: jax.Array,
     hundred objects (pre-cluster memories easily reach that). Rows are
     therefore processed in `row_tile` blocks via lax.map — peak memory
     O(row_tile * K), same result."""
+    # Large-K TPU guard: the vmapped clip program reproducibly CRASHES the
+    # TPU worker ("kernel fault") at K >= ~800 on v5e (r3, reproduced
+    # standalone with random clouds), and even K=200 spends minutes in
+    # remote compile over the tunnel. Reclustering is a one-time host-
+    # orchestrated consolidation, so above a threshold the whole
+    # computation runs on the in-process CPU backend instead —
+    # IBL_IOU_DEVICE_MAX (default 512) tunes the cutoff.
+    import os
+    k_total = points.shape[0]
+    max_dev = int(os.environ.get("IBL_IOU_DEVICE_MAX", "512"))
+    devs = getattr(points, "devices", None)
+    on_cpu = devs is not None and all(d.platform == "cpu" for d in devs())
+    if (k_total > max_dev and jax.default_backend() != "cpu" and not on_cpu):
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                return pairwise_obb_iou(jax.device_put(points, cpu),
+                                        jax.device_put(masks, cpu),
+                                        row_tile)
+
     centers, rots, exts = jax.vmap(pca_obb)(points, masks)
     vols = jax.vmap(obb_volume)(exts)
     valid = jnp.sum(masks, axis=1) >= 4
