@@ -79,6 +79,11 @@ def main(argv=None):
                         help="HF ViTModel .bin/.pth to init both towers "
                              "(reference loads ImageNet weights then freezes "
                              "all but LoRA)")
+    parser.add_argument("--resume", type=int, default=None, metavar="EPOCH",
+                        help="restore params+optimizer from "
+                             "output_dir/step_EPOCH and continue (the "
+                             "reference cannot resume optimizer state — "
+                             "SURVEY.md §5; orbax makes it free here)")
     parser.add_argument("opts", nargs="*", help="dotted overrides a.b=c")
     args = parser.parse_args(argv)
 
@@ -109,6 +114,14 @@ def main(argv=None):
     state = create_train_state(model_cfg, cfg.train, jax.random.PRNGKey(0),
                                cfg.data.height, cfg.data.width,
                                pretrained_path=args.pretrained)
+    start_epoch = 0
+    if args.resume is not None:
+        from ..models.dator.train import restore_checkpoint
+        state = restore_checkpoint(
+            state, os.path.abspath(cfg.output_dir), args.resume)
+        start_epoch = args.resume
+        print(f"resumed from {cfg.output_dir}/step_{args.resume} "
+              f"(step={int(state.step)})")
 
     # device-resident dataset: keep the whole quantized dataset in HBM and
     # upload only a (B,) index array per step (tens of bytes vs the batch
@@ -131,7 +144,7 @@ def main(argv=None):
                                         cfg.data.width))
 
     with mesh:
-        for epoch in range(cfg.train.epochs):
+        for epoch in range(start_epoch, cfg.train.epochs):
             t0 = time.time()
             batches = sampler.epoch_batches(epoch)
             losses = []
@@ -140,6 +153,7 @@ def main(argv=None):
             # the tunnel round-trip per step). Keep a small window of
             # in-flight steps and only materialize the oldest one's loss —
             # batch i+1 loads/uploads while steps i-3..i execute.
+            aux_last = None
             pending = []
             for bi, batch_idxs in enumerate(batches):
                 rng = jax.random.fold_in(jax.random.PRNGKey(1),
@@ -161,13 +175,21 @@ def main(argv=None):
                     state, metrics = step_fn(state, rgb_s, depth_s, pids_s,
                                              rng)
                 pending.append(metrics["loss"])
+                aux_last = metrics
                 if len(pending) > 4:
                     losses.append(float(pending.pop(0)))
             losses.extend(float(l) for l in pending)
             dt = time.time() - t0
             sps = len(batches) * cfg.data.batch_size / max(dt, 1e-9)
+            # last-batch loss components: is CE or triplet stuck at its
+            # uniform floor? (ln(C) resp. softplus(0) — VERDICT r3 item 1)
+            aux = ""
+            if aux_last is not None:
+                aux = " ".join(
+                    f"{k}={float(v):.3f}" for k, v in sorted(aux_last.items())
+                    if k != "loss")
             print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
-                  f"({dt:.1f}s, {sps:.1f} samples/s)")
+                  f"({dt:.1f}s, {sps:.1f} samples/s) {aux}")
 
             if (epoch + 1) % cfg.eval.period == 0:
                 for ablation in ("zero_rgb", "zero_depth", "both"):

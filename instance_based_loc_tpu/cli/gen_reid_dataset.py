@@ -25,6 +25,12 @@ def main(argv=None):
     p.add_argument("--num-objects", type=int, default=6,
                    help="scene instances for --synthetic")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--textured", action="store_true",
+                   help="ReID-identity textured scene (data.synthetic."
+                        "textured_scene): object i wears procedural "
+                        "identity i — the in-domain neural loop's scene")
+    p.add_argument("--height", type=int, default=160)
+    p.add_argument("--width", type=int, default=220)
     args = p.parse_args(argv)
 
     from ..memory.dataset_memory import ObjectDatasetMemory
@@ -32,19 +38,29 @@ def main(argv=None):
     from ..models.embedders import get_embedder
 
     if args.synthetic or args.data_path is None:
-        from ..data.synthetic import default_scene, render_scene, ring_poses
-        scene = default_scene(num_objects=args.num_objects, seed=args.seed)
+        from ..data.synthetic import (default_scene, render_scene, ring_poses,
+                                      textured_scene)
+        if args.textured:
+            from ..memory import DepthRegionDetector
+            scene = textured_scene(num_objects=args.num_objects,
+                                   seed=args.seed)
+            # textures shatter color quantisation — segment geometrically
+            detector = DepthRegionDetector(args.focal_length,
+                                           args.focal_length, min_area=200)
+        else:
+            scene = default_scene(num_objects=args.num_objects,
+                                  seed=args.seed)
+            detector = ColorRegionDetector(min_area=80,
+                                           floor_colors=[scene.floor_color])
         poses = ring_poses(args.n_views, radius=4.5, height=1.3,
                            target=(0, 0.4, 0))
-        detector = ColorRegionDetector(min_area=80,
-                                       floor_colors=[scene.floor_color])
         memory = ObjectDatasetMemory(
             detector=detector, camera_focal_lenth_x=args.focal_length,
             camera_focal_lenth_y=args.focal_length,
             get_embeddings_func=get_embedder("color"), log_enabled=True)
         for pose in poses:
-            rgb, depth, _ = render_scene(scene, pose, 160, 220,
-                                         args.focal_length)
+            rgb, depth, _ = render_scene(scene, pose, args.height,
+                                         args.width, args.focal_length)
             memory.process_image(rgb, depth, pose, consider_floor=True,
                                  min_points=args.min_points)
     else:

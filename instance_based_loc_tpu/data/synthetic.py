@@ -30,6 +30,11 @@ class Box:
     name: str
     yaw: float = 0.0        # rotation about +y (radians); 0 = axis-aligned
     shape: str = "box"      # "box" | "sphere" (sphere uses size[0] as diameter)
+    # optional procedural surface texture: the ReID identity latent dict
+    # from cli.gen_synth_reid._identity_params — the SAME generator that
+    # produces the DATOR training set, so scene objects are in-domain for a
+    # trained embedder (VERDICT r3 item 2)
+    texture: dict | None = None
 
     def contains(self, pts: np.ndarray, tol: float = 1e-3) -> np.ndarray:
         """Membership test for world points (used by tests)."""
@@ -73,6 +78,40 @@ def default_scene(num_objects: int = 6, seed: int = 0) -> SyntheticScene:
                          color=np.clip(color, 0, 1), name=names[i % len(names)],
                          yaw=float(rng.uniform(0, np.pi / 2)), shape=shape))
     return SyntheticScene(boxes=boxes)
+
+
+def _texture_color(idp: dict, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Identity pattern color at object-local (u, v) — the same stripe /
+    checker / ring math as cli.gen_synth_reid._render (phase 0: the world
+    is static, nuisance variation comes from viewpoint/lighting at render
+    time, not per-sample phase jitter)."""
+    ca, sa = np.cos(idp["angle"]), np.sin(idp["angle"])
+    t = (u * ca + v * sa) * idp["freq"]
+    if idp["kind"] == 0:
+        pat = 0.5 + 0.5 * np.sin(t)
+    elif idp["kind"] == 1:
+        t2 = (-u * sa + v * ca) * idp["freq"]
+        pat = ((np.sin(t) > 0) ^ (np.sin(t2) > 0)).astype(np.float64)
+    else:
+        pat = 0.5 + 0.5 * np.sin(np.hypot(u, v) * idp["freq"] * 2.0)
+    return (np.asarray(idp["base"])[None, :] * pat[:, None]
+            + np.asarray(idp["second"])[None, :] * (1.0 - pat[:, None]))
+
+
+def textured_scene(num_objects: int = 9, seed: int = 3,
+                   id_seed: int = 0) -> SyntheticScene:
+    """default_scene geometry, but every object's surface carries a ReID
+    identity texture drawn from the SAME latent stream as
+    cli.gen_synth_reid.generate(seed=id_seed): object i wears identity i of
+    the procedural ReID dataset. A DATOR embedder trained on that dataset
+    has therefore seen these exact identities (under 2-D nuisance
+    variation) — the in-domain neural quality loop of VERDICT r3 item 2."""
+    from ..cli.gen_synth_reid import _identity_params
+    scene = default_scene(num_objects=num_objects, seed=seed)
+    master = np.random.default_rng(id_seed)
+    for i, box in enumerate(scene.boxes):
+        box.texture = _identity_params(master)
+    return scene
 
 
 def look_at_pose(eye: np.ndarray, target: np.ndarray, up=(0.0, 1.0, 0.0)) -> np.ndarray:
@@ -155,7 +194,22 @@ def render_scene(scene: SyntheticScene, pose7: np.ndarray,
             hit = (z_near <= z_far) & (z_near > 1e-6) & (z_near < best_z) & (z_near < far)
         best_z = np.where(hit, z_near, best_z)
         inst = np.where(hit, i, inst)
-        rgb = np.where(hit[..., None], box.color[None, None, :], rgb)
+        if box.texture is None:
+            rgb = np.where(hit[..., None], box.color[None, None, :], rgb)
+        else:
+            half = (box.size[0] / 2.0 if box.shape == "sphere"
+                    else None)
+            p_local = o_local[None, None, :] + z_near[..., None] * d_local
+            if half is not None:
+                u = p_local[..., 0] / half
+                v = p_local[..., 1] / half
+            else:
+                u = p_local[..., 0] / (box.size[0] / 2.0)
+                v = p_local[..., 1] / (box.size[1] / 2.0)
+            tex = np.zeros_like(rgb)
+            hm = hit
+            tex[hm] = _texture_color(box.texture, u[hm], v[hm])
+            rgb = np.where(hit[..., None], np.clip(tex, 0, 1), rgb)
 
     # floor plane y = floor_y, bounded extent
     z_floor = (scene.floor_y - t[1]) / d[..., 1]

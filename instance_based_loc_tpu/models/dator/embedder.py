@@ -54,9 +54,15 @@ def build_dator_embedder(checkpoint_path: str | None = None,
         except (KeyError, TypeError):
             pass
 
+    # params travel as an explicit jit argument, device-resident: baking them
+    # in as closure constants serializes the full tree into the program body,
+    # which blew the axon remote-compile 413 body limit at ViT-B scale for
+    # vit_embedder (FourDNet is two ViT-B-class towers)
+    params = jax.device_put(params)
+
     @jax.jit
-    def apply(rgb_batch, depth_batch):
-        _, feat = model.apply(params, rgb_batch, depth_batch, training=False)
+    def apply(p, rgb_batch, depth_batch):
+        _, feat = model.apply(p, rgb_batch, depth_batch, training=False)
         return feat
 
     def embed(detections, full_rgb_image=None, full_depth_image=None, **_):
@@ -80,7 +86,8 @@ def build_dator_embedder(checkpoint_path: str | None = None,
                     depth_crop = np.zeros((2, 2), np.float32)
                 rgbs[slot] = preprocess_rgb(crop, height, width)
                 depths[slot] = preprocess_depth(depth_crop, height, width)
-            feats = np.asarray(apply(jnp.asarray(rgbs), jnp.asarray(depths)))
+            feats = np.asarray(apply(params, jnp.asarray(rgbs),
+                                     jnp.asarray(depths)))
             outs.append(feats[: len(list(idxs))])
         return np.concatenate(outs)[:n]
 

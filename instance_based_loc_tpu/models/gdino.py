@@ -692,7 +692,15 @@ def build_gdino_grounder(checkpoint_path: str | None = None,
     boxes would only pollute dedup. `random_init=True` instead initializes
     the real model without a checkpoint (benchmarks / batch-parity tests at
     the true program shapes)."""
-    cfg = cfg or GDinoConfig(img_size=800)
+    # IBL_GDINO_SIZE (default 800) is the measured serving relaxation: the
+    # pyramid (and so the MSDA gather work, the #1 cascade cost) scales with
+    # the square of the resize side while every weight is size-independent
+    # (sine pyramid pos embeds, window-relative Swin bias), so a 640 bucket
+    # reuses the checkpoint unchanged. Box deltas quantified in
+    # perf/cascade_relaxations.py; boxes are normalized cxcywh either way.
+    import os
+    cfg = cfg or GDinoConfig(
+        img_size=int(os.environ.get("IBL_GDINO_SIZE", "800")))
     if checkpoint_path is None and not random_init:
         return lambda rgb, keyword: (None, None)
 

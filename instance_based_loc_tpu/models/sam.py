@@ -450,12 +450,17 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
     dt = resolve_compute_dtype(compute_dtype)
     if checkpoint_path and cfg is None:
         # size the model from the checkpoint: the reference deploys ViT-H
-        # (sam_vit_h_4b8939) but B/L files must load identically
+        # (sam_vit_h_4b8939) but B/L files must load identically.
+        # IBL_SAM_SIZE (default 1024) is the measured serving relaxation:
+        # a smaller canvas reuses the checkpoint with interpolated position
+        # tables (perf/cascade_relaxations.py quantifies the mask deltas).
+        import os
         import torch
         sd = torch.load(checkpoint_path, map_location="cpu",
                         weights_only=True)
         sd = {k: v.numpy() for k, v in sd.items()}
-        cfg = sam_config_from_state_dict(sd)
+        cfg = sam_config_from_state_dict(
+            sd, img_size=int(os.environ.get("IBL_SAM_SIZE", "1024")))
         params = _sam_flax_params(sd, cfg, _OFFICIAL_NAMES)
         model = Sam(cfg)
     elif checkpoint_path:
@@ -615,19 +620,47 @@ def _sam_flax_params(sd, cfg: SamConfig, n):
         return {"kernel": t(k + ".weight").transpose(2, 3, 1, 0),
                 "bias": t(k + ".bias")}
 
+    def _resize_pos_embed(pe):
+        """Bicubic-resize the absolute pos embed to cfg.grid — serving SAM
+        below its native 1024 canvas (e.g. IBL_SAM_SIZE=768) reuses the
+        checkpoint with interpolated position tables, SAM's own
+        interpolate_pos_encoding recipe."""
+        g = cfg.grid
+        if pe.shape[1] == g:
+            return pe
+        import jax.image
+        return np.asarray(jax.image.resize(
+            jnp.asarray(pe), (pe.shape[0], g, g, pe.shape[-1]), "bicubic"),
+            np.float32)
+
+    def _resize_rel_pos(table, is_global):
+        """Linear-resize a decomposed rel-pos table to the serving grid.
+        Windowed blocks keep their 2*14-1 rows at any canvas; global blocks
+        need 2*grid-1 rows."""
+        want = 2 * cfg.grid - 1 if is_global else 2 * cfg.window_size - 1
+        if table.shape[0] == want:
+            return table
+        import jax.image
+        return np.asarray(jax.image.resize(
+            jnp.asarray(table), (want, table.shape[1]), "linear"),
+            np.float32)
+
     enc = {
         "patch_embed": conv(n["patch_embed"]),
-        "pos_embed": t(n["enc"] + "pos_embed"),
+        "pos_embed": _resize_pos_embed(t(n["enc"] + "pos_embed")),
     }
     for i in range(cfg.encoder_depth):
         b = n["block"].format(i=i)
+        is_global = i in cfg.global_blocks
         enc[f"block{i}"] = {
             "norm1": ln(b + n["bnorm1"]),
             "norm2": ln(b + n["bnorm2"]),
             "attn": {"qkv": lin(b + "attn.qkv"),
                      "proj": lin(b + "attn.proj"),
-                     "rel_pos_h": t(b + "attn.rel_pos_h"),
-                     "rel_pos_w": t(b + "attn.rel_pos_w")},
+                     "rel_pos_h": _resize_rel_pos(
+                         t(b + "attn.rel_pos_h"), is_global),
+                     "rel_pos_w": _resize_rel_pos(
+                         t(b + "attn.rel_pos_w"), is_global)},
             "fc1": lin(b + "mlp.lin1"),
             "fc2": lin(b + "mlp.lin2"),
         }

@@ -14,6 +14,8 @@ Replaces reference `utils/IoU_ops.py`:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -220,40 +222,18 @@ def obb_iou(points1, mask1, points2, mask2):
     return jnp.where(empty, 0.0, jnp.clip(iou, 0.0, 1.0))
 
 
-def pairwise_obb_iou(points: jax.Array, masks: jax.Array,
-                     row_tile: int = 32) -> jax.Array:
-    """(K, K) IoU matrix over K padded clouds (points (K,N,3), masks (K,N)).
-    Fits each OBB once, then runs the clip kernel over all pairs — replaces
-    the reference's nested Python loop over Objectron (object_memory.py:710-722).
+_PAIR_BLOCK = 2048
 
-    The clip kernel carries a (6 faces x 16 verts x 3) polygon state per
-    pair; materializing it for all K^2 pairs at once OOMs HBM for a few
-    hundred objects (pre-cluster memories easily reach that). Rows are
-    therefore processed in `row_tile` blocks via lax.map — peak memory
-    O(row_tile * K), same result."""
-    # Large-K TPU guard: the vmapped clip program reproducibly CRASHES the
-    # TPU worker ("kernel fault") at K >= ~800 on v5e (r3, reproduced
-    # standalone with random clouds), and even K=200 spends minutes in
-    # remote compile over the tunnel. Reclustering is a one-time host-
-    # orchestrated consolidation, so above a threshold the whole
-    # computation runs on the in-process CPU backend instead —
-    # IBL_IOU_DEVICE_MAX (default 512) tunes the cutoff.
-    import os
-    k_total = points.shape[0]
-    max_dev = int(os.environ.get("IBL_IOU_DEVICE_MAX", "512"))
-    devs = getattr(points, "devices", None)
-    on_cpu = devs is not None and all(d.platform == "cpu" for d in devs())
-    if (k_total > max_dev and jax.default_backend() != "cpu" and not on_cpu):
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu = None
-        if cpu is not None:
-            with jax.default_device(cpu):
-                return pairwise_obb_iou(jax.device_put(points, cpu),
-                                        jax.device_put(masks, cpu),
-                                        row_tile)
 
+@partial(jax.jit, static_argnames=("pair_block",))
+def _pairwise_obb_iou_blocked(points, masks, ii, jj, pair_block: int):
+    """Upper-triangle IoUs over a padded pair list, processed in fixed
+    `pair_block`-sized device programs via lax.map. Every program has the
+    SAME shape regardless of K — this is the r4 fix for the r3 TPU worker
+    kernel fault: the previous row-major tiling vmapped the clip kernel
+    over all K columns per row, so per-program size grew with K and
+    reproducibly crashed the v5e worker at K >= ~800. Fixed blocks keep
+    the clip state at O(pair_block) forever."""
     centers, rots, exts = jax.vmap(pca_obb)(points, masks)
     vols = jax.vmap(obb_volume)(exts)
     valid = jnp.sum(masks, axis=1) >= 4
@@ -265,10 +245,37 @@ def pairwise_obb_iou(points: jax.Array, masks: jax.Array,
         iou = jnp.where(denom > 1e-12, inter / denom, 0.0)
         return jnp.where(valid[i] & valid[j], jnp.clip(iou, 0.0, 1.0), 0.0)
 
+    def block(idx):
+        bi, bj = idx
+        return jax.vmap(pair)(bi, bj)
+
+    n_blocks = ii.shape[0] // pair_block
+    flat = jax.lax.map(block, (ii.reshape(n_blocks, pair_block),
+                               jj.reshape(n_blocks, pair_block)))
+    return flat.reshape(-1), valid
+
+
+def pairwise_obb_iou(points: jax.Array, masks: jax.Array,
+                     pair_block: int = _PAIR_BLOCK) -> jax.Array:
+    """(K, K) IoU matrix over K padded clouds (points (K,N,3), masks (K,N)).
+    Fits each OBB once, then runs the clip kernel over the K(K-1)/2 unique
+    pairs in fixed-size blocks — replaces the reference's nested Python loop
+    over Objectron (object_memory.py:710-722) and stays on-device at any K
+    (r3's host fallback for K >= 800 is retired; see
+    `_pairwise_obb_iou_blocked` for the kernel-fault history)."""
+    import numpy as np
     k = points.shape[0]
-    cols = jnp.arange(k)
-
-    def row(i):
-        return jax.vmap(lambda j: pair(i, j))(cols)
-
-    return jax.lax.map(row, jnp.arange(k), batch_size=min(row_tile, k))
+    if k < 2:
+        return jnp.zeros((k, k), jnp.float32)
+    iu, ju = np.triu_indices(k, 1)
+    n_pairs = len(iu)
+    block = min(pair_block, max(256, n_pairs))
+    pad = (-n_pairs) % block
+    ii = jnp.asarray(np.concatenate([iu, np.zeros(pad)]).astype(np.int32))
+    jj = jnp.asarray(np.concatenate([ju, np.zeros(pad)]).astype(np.int32))
+    flat, valid = _pairwise_obb_iou_blocked(points, masks, ii, jj, block)
+    flat = flat[:n_pairs]
+    mat = jnp.zeros((k, k), flat.dtype).at[iu, ju].set(flat)
+    mat = mat + mat.T
+    # diagonal: a valid box has IoU 1 with itself (degenerate clouds 0)
+    return mat + jnp.diag(jnp.where(valid, 1.0, 0.0))

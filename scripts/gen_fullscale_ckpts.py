@@ -67,9 +67,16 @@ def write_gdino(out: str):
     # WordPiece vocab with the special ids where bert-base-uncased puts
     # them (make_text_masks SPECIAL_TOKEN_IDS contract: CLS 101, SEP 102,
     # "." 1012); real words fill the tail so RAM tags tokenize stably.
+    # filler extends through id 1029 so no "thingNNNN" lands on a member of
+    # SPECIAL_TOKEN_IDS (101/102/1012/1029) — a tag at a special id would get
+    # a wrong block-diagonal text mask during deployment rehearsal
     vocab = ["[PAD]"] * 101 + ["[CLS]", "[SEP]"] + \
-        [f"unused{i}" for i in range(909)] + ["."]
+        [f"unused{i}" for i in range(909)] + ["."] + \
+        [f"unused{909 + i}" for i in range(17)]
     vocab += [f"thing{i:04d}" for i in range(6000)]
+    from instance_based_loc_tpu.models.gdino import SPECIAL_TOKEN_IDS
+    assert all(not vocab[sid].startswith("thing")
+               for sid in SPECIAL_TOKEN_IDS)
     with open(os.path.join(out, "vocab.txt"), "w") as f:
         f.write("\n".join(vocab) + "\n")
 

@@ -87,3 +87,27 @@ def test_sigterm_reprints_headline_and_exits_128_15():
     lines = _json_lines("".join(seen) + rest)
     assert lines[-1]["metric"] == "e2e_localisation_fps_per_chip"
     assert lines[-1]["value"] == 42.0
+
+
+def test_failed_headline_exits_nonzero_with_labeled_line():
+    """r3 ADVICE: a run whose headline child crashed must not exit 0 with a
+    fabricated value-0.0 line that parses as a plausible measurement."""
+    r = _run({"IBL_BENCH_FAKE_E2E_FAIL": "1"})
+    assert r.returncode != 0
+    lines = _json_lines(r.stdout)
+    assert lines[-1]["metric"] == "e2e_localisation_fps_per_chip"
+    assert lines[-1]["value"] == 0.0
+    assert "did not complete" in lines[-1]["unit"]
+
+
+def test_real_pipeline_metric_composed_from_children():
+    """real_pipeline_fps = 1/(1/cascade + 1/embed + 1/localise) over the
+    fake children's canned rates (42, 5, 100 fps)."""
+    r = _run({})
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = _json_lines(r.stdout)
+    real = [ln for ln in lines if ln["metric"] == "real_pipeline_fps"]
+    assert real, lines
+    expect = 1.0 / (1.0 / 5.0 + 1.0 / 42.0 + 1.0 / 100.0)
+    assert abs(real[0]["value"] - expect) < 1e-2
+    assert real[0]["vs_baseline"] is not None
