@@ -108,6 +108,18 @@ def main(argv=None):
     sampler = PKSampler(samples, cfg.data.batch_size, cfg.data.num_instances,
                         seed=cfg.data.seed)
 
+    # held-out eval split (VERDICT r3 item 1: rank1 must be measured on
+    # identities' UNSEEN samples, not the training set)
+    eval_sets = [("train", sampler, samples)]
+    if cfg.data.val_root:
+        val_samples = scan_instance_dirs(cfg.data.val_root)
+        val_sampler = PKSampler(val_samples, cfg.data.batch_size,
+                                cfg.data.num_instances, seed=cfg.data.seed)
+        print(f"val split: {len(val_samples)} samples / "
+              f"{len({s.pid for s in val_samples})} identities")
+        eval_sets = [("val", val_sampler, val_samples),
+                     ("train", sampler, samples)]
+
     mesh = make_mesh(n_model=cfg.n_model_shards)
     print(f"mesh: {mesh.shape}")
 
@@ -192,10 +204,12 @@ def main(argv=None):
                   f"({dt:.1f}s, {sps:.1f} samples/s) {aux}")
 
             if (epoch + 1) % cfg.eval.period == 0:
-                for ablation in ("zero_rgb", "zero_depth", "both"):
-                    m = evaluate(state, sampler, samples, cfg, ablation)
-                    print(f"  eval[{ablation}]: " +
-                          " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                for split, e_sampler, e_samples in eval_sets:
+                    for ablation in ("zero_rgb", "zero_depth", "both"):
+                        m = evaluate(state, e_sampler, e_samples, cfg,
+                                     ablation)
+                        print(f"  eval[{split}/{ablation}]: " +
+                              " ".join(f"{k}={v:.4f}" for k, v in m.items()))
             if (epoch + 1) % cfg.eval.checkpoint_period == 0:
                 save_checkpoint(state, os.path.abspath(cfg.output_dir), epoch + 1)
                 print(f"  checkpoint @ epoch {epoch + 1}")

@@ -39,6 +39,11 @@ class DataConfig:
     # device_dataset_max_mb; true/false force it.
     device_dataset: Any = "auto"
     device_dataset_max_mb: int = 512
+    # held-out split for eval (dir-per-instance root, same layout as
+    # `root`). Empty = eval on the training samples (the r3 behavior —
+    # fine for throughput work, but rank-1 on train measures memorization,
+    # not re-identification; VERDICT r3 item 1 wants val rank1)
+    val_root: str = ""
 
 
 @dataclasses.dataclass

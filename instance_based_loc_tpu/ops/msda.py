@@ -95,11 +95,43 @@ def _tap_index_weights_bcast(loc, hh: int, ww: int):
     return yi, xi, wgt                                           # (...,4) each
 
 
+def _level_gather_perhead(vmap_l, loc, attn_w, hh: int, ww: int):
+    """Per-head gather lowering for one level (r4): one `jnp.take` per head
+    from that head's CONTIGUOUS (S_l, D) table.
+
+    Why: the single flat gather below reads random rows from an
+    (S_l * H, D) table — 5.1 MB bf16 at GDINO@800 level 0 — and measures
+    gather-issue bound (~9 ms/layer, PERF.md "MSDA big gather"). The same
+    total rows gathered per head from 640 KB tables measure ~0.03 ms at
+    identical shapes (perf/msda_pallas_probe.py r4): small enough that XLA
+    keeps the table VMEM-resident and fuses the multiply+reduce consumer,
+    leaving only ~27 MB of sequential HBM traffic (indices + coeffs in,
+    (Q, H, D) f32 out) instead of 1.7M random 64 B HBM touches.
+    """
+    s_l, h, d = vmap_l.shape
+    q, _, k, _ = loc.shape
+    yi, xi, wts = _tap_index_weights_bcast(loc, hh, ww)
+    lin = yi * ww + xi                                           # (Q,H,K,4)
+    coeff = (wts * attn_w.astype(wts.dtype)[..., None]).astype(
+        vmap_l.dtype)                                            # (Q,H,K,4)
+    vmap_t = jnp.swapaxes(vmap_l, 0, 1)                          # (H,S,D)
+    outs = []
+    for head in range(h):
+        rows = jnp.take(vmap_t[head], lin[:, head].reshape(-1), axis=0)
+        rows = rows.reshape(q, k * 4, d)
+        prod = rows * coeff[:, head].reshape(q, k * 4, 1)
+        outs.append(jnp.sum(prod.astype(jnp.float32), axis=1))   # (Q,D)
+    return jnp.stack(outs, axis=1)                               # (Q,H,D)
+
+
 def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     """Flat-gather lowering for one level.
 
     vmap_l (S_l, H, D); loc (Q, H, K, 2); attn_w (Q, H, K) -> (Q, H, D) f32.
     """
+    import os
+    if os.environ.get("IBL_MSDA_GATHER", "perhead") == "perhead":
+        return _level_gather_perhead(vmap_l, loc, attn_w, hh, ww)
     s_l, h, d = vmap_l.shape
     q, _, k, _ = loc.shape
     flat = vmap_l.reshape(s_l * h, d)

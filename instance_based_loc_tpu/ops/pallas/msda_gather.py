@@ -35,21 +35,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(v_ref, lin_ref, coeff_ref, out_ref):
-    """One query tile for one head.
+    """One query tile for one head (head-major layout).
 
-    v_ref:     (S, 1, D) value map, whole level, one head (VMEM, resident)
-    lin_ref:   (TQ, 1, 16) i32 row indices (K=4 points x 4 bilinear taps)
-    coeff_ref: (TQ, 1, 16) f32 folded tap x attention weights
-    out_ref:   (TQ, 1, D) f32
+    v_ref:     (1, S, D) value map, whole level, one head (VMEM, resident)
+    lin_ref:   (1, TQ, 16) i32 row indices (K=4 points x 4 bilinear taps)
+    coeff_ref: (1, TQ, 16) f32 folded tap x attention weights
+    out_ref:   (1, TQ, D) f32
     """
-    s, _, d = v_ref.shape
-    tq = lin_ref.shape[0]
-    lin = lin_ref[:].reshape(tq, 16)                    # (TQ, 16)
-    coeff = coeff_ref[:].reshape(tq, 16)
+    _, s, d = v_ref.shape
+    tq = lin_ref.shape[1]
+    lin = lin_ref[0]                                    # (TQ, 16)
+    coeff = coeff_ref[0]
     # the vector gather under test: 16*TQ dynamic rows from a VMEM ref
-    rows = jnp.take(v_ref[:].reshape(s, d), lin.reshape(-1), axis=0)
+    rows = jnp.take(v_ref[0], lin.reshape(-1), axis=0)
     rows = rows.reshape(tq, 16, d).astype(jnp.float32)
-    out_ref[:] = jnp.sum(rows * coeff[:, :, None], axis=1).reshape(tq, 1, d)
+    out_ref[0] = jnp.sum(rows * coeff[:, :, None], axis=1)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -62,6 +62,11 @@ def msda_level_gather_pallas(vmap_l: jax.Array, lin: jax.Array,
     lin:    (Q, H, 16) i32 spatial row index per (query, head, tap)
     coeff:  (Q, H, 16) f32 folded bilinear x attention weight per tap
     returns (Q, H, D) f32 — same contraction as ops.msda._level_gather.
+
+    Block-shape rules (Mosaic): the last two dims of every block must be
+    divisible by (8, 128) or equal the overall array dims — hence the
+    head-major (H, ...) layouts where the per-head (S, D) / (TQ, 16) /
+    (TQ, D) planes ARE the trailing dims.
     """
     s, h, d = vmap_l.shape
     q = lin.shape[0]
@@ -72,25 +77,29 @@ def msda_level_gather_pallas(vmap_l: jax.Array, lin: jax.Array,
         coeff = jnp.pad(coeff, ((0, q_pad), (0, 0), (0, 0)))
     qp = q + q_pad
 
+    v_hm = jnp.swapaxes(vmap_l, 0, 1)          # (H, S, D) head-major
+    lin_hm = jnp.swapaxes(lin, 0, 1)           # (H, Q, 16)
+    coeff_hm = jnp.swapaxes(coeff, 0, 1)       # (H, Q, 16)
+
     grid = (qp // tq, h)
     out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((qp, h, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((h, qp, d), jnp.float32),
         grid=grid,
         in_specs=[
             # value map: whole level for head j, resident across i
-            pl.BlockSpec((s, 1, d), lambda i, j: (0, j, 0),
+            pl.BlockSpec((1, s, d), lambda i, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 1, 16), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tq, 16), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 1, 16), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tq, 16), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tq, 1, d), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, tq, d), lambda i, j: (j, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(vmap_l.reshape(s, h, d), lin, coeff)
-    return out[:q]
+    )(v_hm, lin_hm, coeff_hm)
+    return jnp.swapaxes(out, 0, 1)[:q]
 
 
 def msda_level_gather_reference(vmap_l, lin, coeff):
