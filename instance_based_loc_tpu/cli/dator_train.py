@@ -104,6 +104,15 @@ def main(argv=None):
     print(f"ReID dataset: {len(samples)} samples / {num_classes} identities")
     import dataclasses
     model_cfg = dataclasses.replace(cfg.model, num_classes=num_classes)
+    if os.environ.get("IBL_DATOR_F32"):
+        # dotted overrides can't express a jnp dtype (type(current)(value)
+        # mangles the class); env escape hatch for f32-compute probes
+        import jax.numpy as jnp
+        model_cfg = dataclasses.replace(
+            model_cfg, dtype=jnp.float32,
+            backbone=dataclasses.replace(model_cfg.backbone,
+                                         dtype=jnp.float32))
+        print("IBL_DATOR_F32: compute dtype forced to float32")
 
     sampler = PKSampler(samples, cfg.data.batch_size, cfg.data.num_instances,
                         seed=cfg.data.seed)

@@ -187,4 +187,27 @@ class FourDNet(nn.Module):
         embedding = jnp.mean(final, axis=-2)          # (B, 128)
 
         cls_score = nn.Dense(c.num_classes, name="classifier")(embedding)
+        if training:
+            # Train-time auxiliary CE heads on the two towers' CLS tokens.
+            # From-scratch training (this environment has no ImageNet
+            # checkpoint — the reference inits from one and freezes,
+            # make_model.py:466-477) floors at the uniform CE loss at the
+            # full 129-token geometry: the only gradient path to the towers
+            # runs through LN'd gated token-means whose per-sample signal
+            # washes out (bisect series in out/dator_r4_floor_bisect.md).
+            # Direct CLS supervision recreates the reference's working
+            # regime (discriminative towers + combiner head) and mirrors
+            # its own multi-stream CE (0.5*global + 0.5*locals,
+            # dator/loss/make_loss.py:41-93). Inference path unchanged.
+            # LN before each head: the pre-norm residual stream's CLS
+            # magnitude is unbounded (the towers' final LN is skipped in
+            # local_feature mode) — raw logits diverged (CE 28 -> 50 within
+            # 2 epochs) until normalized
+            aux_r = nn.Dense(c.num_classes, name="aux_classifier_rgb")(
+                nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="aux_norm_rgb")(rgb_tokens[:, 0]))
+            aux_d = nn.Dense(c.num_classes, name="aux_classifier_depth")(
+                nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="aux_norm_depth")(depth_tokens[:, 0]))
+            return cls_score, embedding, (aux_r, aux_d)
         return cls_score, embedding

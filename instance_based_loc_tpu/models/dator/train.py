@@ -53,6 +53,11 @@ class TrainConfig:
     # reference gives them their own SGD at CENTER_LR).
     center_loss_weight: float = 0.0
     lora_only: bool = True          # freeze towers except LoRA (make_model.py:466-477)
+    # train-time auxiliary CE on the tower CLS tokens (FourDNet returns
+    # them when training=True). Needed for from-scratch training at the
+    # full 129-token geometry — see the rationale in fourdnet.py; mirrors
+    # the reference's multi-stream CE weighting (make_loss.py:41-93).
+    aux_tower_weight: float = 0.5
 
 
 class TrainState(struct.PyTreeNode):
@@ -133,8 +138,11 @@ def create_train_state(model_cfg: FourDNetConfig, train_cfg: TrainConfig,
     model = FourDNet(model_cfg)
     dummy_rgb = jnp.zeros((2, height, width, 3), jnp.float32)
     dummy_depth = jnp.zeros((2, height, width, 3), jnp.float32)
+    # training=True so the train-only aux tower heads get params (flax
+    # only creates params for executed branches); inference-time apply
+    # simply never reads them
     params = model.init({"params": rng, "dropout": rng},
-                        dummy_rgb, dummy_depth, training=False)
+                        dummy_rgb, dummy_depth, training=True)
     if train_cfg.center_loss_weight > 0:
         import flax
         feat_dim = params["params"]["classifier"]["kernel"].shape[0]
@@ -177,8 +185,10 @@ def train_step(state: TrainState, rgb, depth, labels, rng,
     rgb, depth = dequantize_batch(rgb, depth)
 
     def loss_fn(params):
-        cls_score, feat = state.apply_fn(
+        out = state.apply_fn(
             params, rgb, depth, training=True, rngs={"dropout": rng})
+        cls_score, feat = out[0], out[1]
+        aux_scores = out[2] if len(out) > 2 else ()
         id_score = cls_score
         if train_cfg.id_loss_type != "softmax":
             # margin head: the classifier kernel doubles as the cosine
@@ -193,6 +203,13 @@ def train_step(state: TrainState, rgb, depth, labels, rng,
             id_weight=train_cfg.id_loss_weight,
             triplet_weight=train_cfg.triplet_weight,
             label_smoothing=train_cfg.label_smoothing)
+        if aux_scores and train_cfg.aux_tower_weight > 0:
+            from .losses import cross_entropy
+            aux_ce = sum(cross_entropy(s, labels,
+                                       train_cfg.label_smoothing)
+                         for s in aux_scores) / len(aux_scores)
+            total = total + train_cfg.aux_tower_weight * aux_ce
+            aux["aux_tower_loss"] = aux_ce
         if train_cfg.center_loss_weight > 0:
             c_loss = center_loss(feat, labels,
                                  params["params"]["center_centers"])

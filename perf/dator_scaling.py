@@ -11,7 +11,11 @@ overhead as the data axis grows (flat-ish is the success criterion); real
 speedup numbers come from the single-chip run in PERF.md (the tunneled v5e
 measured 49-73 samples/s at this geometry).
 
-Run: python perf/dator_scaling.py [reid_root] [steps=4]
+Run: python perf/dator_scaling.py [reid_root] [steps=4] [small] [trace]
+
+With "trace" as the 4th arg, each data-axis size's timed loop runs under
+jax.profiler into /tmp/dator_scaling_trace/axis{N} for op-level attribution
+of the SPMD overhead curve (VERDICT r3 Weak #6) via perf/analyze_trace.py.
 """
 
 import os
@@ -38,6 +42,7 @@ def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/reid300/train"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     small = len(sys.argv) > 3 and sys.argv[3] == "small"
+    trace = "trace" in sys.argv[3:]
 
     from instance_based_loc_tpu.config import load_config
     from instance_based_loc_tpu.models.dator.data import (PKSampler,
@@ -73,7 +78,9 @@ def main():
     print("NOTE: 1 physical core — virtual-device scaling measures SPMD "
           "overhead (flat = good), not speedup; chip samples/s in PERF.md")
 
-    for n_data in (1, 2, 4, 8):
+    axes = tuple(int(a) for a in os.environ.get(
+        "IBL_SCALING_AXES", "1,2,4,8").split(","))
+    for n_data in axes:
         mesh = make_mesh(n_data=n_data, n_model=1)
         state = create_train_state(model_cfg, cfg.train,
                                    jax.random.PRNGKey(0),
@@ -86,12 +93,17 @@ def main():
             rng = jax.random.PRNGKey(1)
             state2, metrics = step_fn(state, rgb_s, depth_s, pids_s, rng)
             jax.block_until_ready(metrics["loss"])      # compile
+            if trace:
+                jax.profiler.start_trace(
+                    f"/tmp/dator_scaling_trace/axis{n_data}")
             t0 = time.perf_counter()
             for i in range(n_steps):
                 state2, metrics = step_fn(state2, rgb_s, depth_s, pids_s,
                                           jax.random.fold_in(rng, i))
             jax.block_until_ready(metrics["loss"])
             dt = (time.perf_counter() - t0) / n_steps
+            if trace:
+                jax.profiler.stop_trace()
         print(f"data_axis={n_data}: {dt * 1000:.0f} ms/step "
               f"(loss {float(metrics['loss']):.3f})", flush=True)
 

@@ -45,8 +45,10 @@ def test_fourdnet_forward_shapes(rng):
     rgb = jnp.asarray(rng.normal(size=(2, 32, 16, 3)), jnp.float32)
     depth = jnp.asarray(rng.normal(size=(2, 32, 16, 3)), jnp.float32)
     key = jax.random.PRNGKey(0)
+    # init under training=True so the train-only aux tower heads get
+    # params (create_train_state does the same); inference ignores them
     params = model.init({"params": key, "dropout": key}, rgb, depth,
-                        training=False)
+                        training=True)
     score, feat = model.apply(params, rgb, depth, training=False)
     assert score.shape == (2, 5)
     assert feat.shape == (2, 16)
@@ -54,10 +56,12 @@ def test_fourdnet_forward_shapes(rng):
     tower_kernel = params["params"]["towers"]["patch_embed"]["kernel"]
     assert tower_kernel.shape[0] == 2
 
-    # modality dropout path runs under training
-    score_t, _ = model.apply(params, rgb, depth, training=True,
-                             rngs={"dropout": key})
+    # modality dropout path runs under training; aux CLS heads come back
+    score_t, _, (aux_r, aux_d) = model.apply(params, rgb, depth,
+                                             training=True,
+                                             rngs={"dropout": key})
     assert score_t.shape == (2, 5)
+    assert aux_r.shape == (2, 5) and aux_d.shape == (2, 5)
 
 
 def test_triplet_loss_matches_reference_formula(rng):
