@@ -19,10 +19,20 @@ MAX_CROPS = 16
 def build_dator_embedder(checkpoint_path: str | None = None,
                          model_cfg: FourDNetConfig | None = None,
                          height: int = 256, width: int = 128,
-                         max_crops: int = MAX_CROPS):
+                         max_crops: int = MAX_CROPS,
+                         feature: str | None = None):
     """Batched embed callable for ObjectMemory. The depth crop is taken from
     the full depth image by the detection's bounding box, exactly as the
-    reference does (utils/embeddings.py:112-117)."""
+    reference does (utils/embeddings.py:112-117).
+
+    feature: "embedding" (default — the reference's 128-d FourDNet output,
+    get_embeds.py:159) or "cls" — the L2-normalized concat of the two
+    towers' CLS tokens. "cls" is an opt-in for from-scratch checkpoints:
+    the train-time aux heads supervise exactly these tokens, so they become
+    discriminative long before the fusion head's diluted gradient path does
+    (out/dator_r4_floor_bisect.md). Also settable via IBL_DATOR_FEATURE."""
+    import os
+    feature = feature or os.environ.get("IBL_DATOR_FEATURE", "embedding")
     cfg = model_cfg or FourDNetConfig()
     model = FourDNet(cfg)
     rng = jax.random.PRNGKey(0)
@@ -62,6 +72,13 @@ def build_dator_embedder(checkpoint_path: str | None = None,
 
     @jax.jit
     def apply(p, rgb_batch, depth_batch):
+        if feature == "cls":
+            _, _, (rc, dc) = model.apply(p, rgb_batch, depth_batch,
+                                         training=False,
+                                         return_cls_tokens=True)
+            rc = rc / (jnp.linalg.norm(rc, axis=-1, keepdims=True) + 1e-8)
+            dc = dc / (jnp.linalg.norm(dc, axis=-1, keepdims=True) + 1e-8)
+            return jnp.concatenate([rc, dc], axis=-1)
         _, feat = model.apply(p, rgb_batch, depth_batch, training=False)
         return feat
 

@@ -111,9 +111,12 @@ class FourDNet(nn.Module):
 
     @nn.compact
     def __call__(self, rgb, depth, cam_ids=None, view_ids=None,
-                 training: bool = False):
+                 training: bool = False, return_cls_tokens: bool = False):
         """rgb/depth: (B, H, W, 3) preprocessed. Returns
-        (cls_scores (B, num_classes), embedding (B, reduced_dim))."""
+        (cls_scores (B, num_classes), embedding (B, reduced_dim));
+        with return_cls_tokens also the raw (rgb_cls, depth_cls) tower
+        tokens (B, hidden) — the features the train-time aux heads
+        supervise, used by the embedder's opt-in "cls" feature mode."""
         c = self.cfg
         b = rgb.shape[0]
 
@@ -210,4 +213,7 @@ class FourDNet(nn.Module):
                 nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                              name="aux_norm_depth")(depth_tokens[:, 0]))
             return cls_score, embedding, (aux_r, aux_d)
+        if return_cls_tokens:
+            return cls_score, embedding, (rgb_tokens[:, 0].astype(jnp.float32),
+                                          depth_tokens[:, 0].astype(jnp.float32))
         return cls_score, embedding
