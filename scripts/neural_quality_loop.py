@@ -58,13 +58,16 @@ def main():
         _dump_crops(args, scene)
 
     eval_idx = [str(i) for i in range(1, args.n_views, 2)]
-    from instance_based_loc_tpu.cli.localisation_trial import main as trial
-    trial(["--convention", "synth", "--data-path", args.scene_dir,
-           "--embeddings", args.embeddings,
-           "--embedder-checkpoint", args.checkpoint,
-           "--detector", "depth", "-e", *eval_idx,
-           "--consider-floor", "--min-points", "500",
-           "--no-outlier-removal", "--testname", args.testname])
+    from instance_based_loc_tpu.cli.localisation_trial import (
+        apply_convention_defaults, main as trial, make_parser)
+    targs = apply_convention_defaults(make_parser().parse_args(
+        ["--convention", "synth", "--data-path", args.scene_dir,
+         "--embeddings", args.embeddings,
+         "--embedder-checkpoint", args.checkpoint,
+         "--detector", "depth", "-e", *eval_idx,
+         "--consider-floor", "--min-points", "500",
+         "--no-outlier-removal", "--testname", args.testname]))
+    trial(targs)
 
     res = os.path.join("out", f"{args.testname}_results.txt")
     if os.path.exists(res):
