@@ -96,17 +96,17 @@ def _tap_index_weights_bcast(loc, hh: int, ww: int):
 
 
 def _level_gather_perhead(vmap_l, loc, attn_w, hh: int, ww: int):
-    """Per-head gather lowering for one level (r4): one `jnp.take` per head
-    from that head's CONTIGUOUS (S_l, D) table.
+    """Per-head gather lowering for one level: one `jnp.take` per head from
+    that head's CONTIGUOUS (S_l, D) table (640 KB bf16 at GDINO@800 level 0
+    vs the flat form's 5.1 MB (S_l*H, D) table).
 
-    Why: the single flat gather below reads random rows from an
-    (S_l * H, D) table — 5.1 MB bf16 at GDINO@800 level 0 — and measures
-    gather-issue bound (~9 ms/layer, PERF.md "MSDA big gather"). The same
-    total rows gathered per head from 640 KB tables measure ~0.03 ms at
-    identical shapes (perf/msda_pallas_probe.py r4): small enough that XLA
-    keeps the table VMEM-resident and fuses the multiply+reduce consumer,
-    leaving only ~27 MB of sequential HBM traffic (indices + coeffs in,
-    (Q, H, D) f32 out) instead of 1.7M random 64 B HBM touches.
+    MEASURED SLOWER than the flat single gather and kept only as a probe
+    variant (IBL_MSDA_GATHER=perhead): 5.30 vs 4.46 ms/iter at the @800
+    level-0 shape under the honest device-side lax.scan harness
+    (perf/msda_pallas_probe.py r4). An earlier wall-clock probe reading
+    0.03 ms for this form was the tunnel's block_until_ready returning
+    before execution — the documented axon hazard — not a real VMEM-cached
+    fast path.
     """
     s_l, h, d = vmap_l.shape
     q, _, k, _ = loc.shape
@@ -130,7 +130,7 @@ def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     vmap_l (S_l, H, D); loc (Q, H, K, 2); attn_w (Q, H, K) -> (Q, H, D) f32.
     """
     import os
-    if os.environ.get("IBL_MSDA_GATHER", "perhead") == "perhead":
+    if os.environ.get("IBL_MSDA_GATHER", "flat") == "perhead":
         return _level_gather_perhead(vmap_l, loc, attn_w, hh, ww)
     s_l, h, d = vmap_l.shape
     q, _, k, _ = loc.shape

@@ -1,6 +1,9 @@
 """Measure MSDA level-0 gather lowerings against each other (VERDICT r3
-next-round item 3a, extended in r4 after the first probe run exposed that
-the "reference" per-head loop was ~300x faster than the shipping flat form).
+next-round item 3a). Timing happens inside ONE jitted lax.scan: a first
+version of this probe timed dispatch wall-clock and read 0.03 ms for a
+5.3 ms gather — the tunnel's block_until_ready hazard; scan-carry timing
+is immune. Result (r4, v5e): flat 4.46 ms/iter beats per-head 5.30; the
+Pallas kernel fails Mosaic's gather lowering rule (see PERF.md).
 
 Shapes are GroundingDINO@800's encoder level 0 — the wall itself:
 S = 100*100, H = 8, D = 32, Q = 13294 (all pyramid queries sample level 0),
