@@ -90,6 +90,10 @@ def main():
 
     configs = [("baseline", 800, 1024), ("gdino640", 640, 1024),
                ("sam768", 800, 768), ("fast", 640, 768)]
+    only = os.environ.get("IBL_RELAX_CONFIGS")   # e.g. "baseline,fast"
+    if only:
+        names = {n.strip() for n in only.split(",")}
+        configs = [c for c in configs if c[0] in names]
     results = []
     for label, gs, ss in configs:
         results.append(run_config(label, gs, ss, frames, boxes_px))
