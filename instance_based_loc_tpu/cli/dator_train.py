@@ -84,6 +84,17 @@ def main(argv=None):
                              "output_dir/step_EPOCH and continue (the "
                              "reference cannot resume optimizer state — "
                              "SURVEY.md §5; orbax makes it free here)")
+    parser.add_argument("--init-npz", type=str, default=None,
+                        help="warm-start params from a flat .npz written by "
+                             "save_params_npz (cross-round resume: orbax "
+                             "dirs don't survive the build container, git "
+                             "does). Optimizer state starts fresh; combine "
+                             "with --resume-epoch to continue the LR "
+                             "schedule from where the npz left off")
+    parser.add_argument("--resume-epoch", type=int, default=0,
+                        help="with --init-npz: epoch to continue from "
+                             "(advances the cosine schedule by fast-running "
+                             "the step counter)")
     parser.add_argument("opts", nargs="*", help="dotted overrides a.b=c")
     args = parser.parse_args(argv)
 
@@ -97,6 +108,12 @@ def main(argv=None):
                                       make_pjit_train_step, save_checkpoint)
 
     cfg = load_config(args.config, args.opts)
+    if args.init_npz and args.resume_epoch:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, train=_dc.replace(
+            cfg.train,
+            schedule_offset_steps=args.resume_epoch
+            * cfg.train.steps_per_epoch))
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     samples = scan_instance_dirs(cfg.data.root)
@@ -143,6 +160,14 @@ def main(argv=None):
         start_epoch = args.resume
         print(f"resumed from {cfg.output_dir}/step_{args.resume} "
               f"(step={int(state.step)})")
+    elif args.init_npz:
+        from ..models.dator.train import load_params_npz
+        state = state.replace(
+            params=load_params_npz(state.params, args.init_npz))
+        start_epoch = args.resume_epoch
+        print(f"warm-started params from {args.init_npz}; continuing at "
+              f"epoch {start_epoch} (schedule offset "
+              f"{cfg.train.schedule_offset_steps} steps, fresh optimizer)")
 
     # device-resident dataset: keep the whole quantized dataset in HBM and
     # upload only a (B,) index array per step (tens of bytes vs the batch

@@ -39,7 +39,24 @@ def build_dator_embedder(checkpoint_path: str | None = None,
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     params = model.init({"params": rng, "dropout": rng}, dummy, dummy,
                         training=False)
-    if checkpoint_path is not None:
+    if checkpoint_path is not None and checkpoint_path.endswith(".npz"):
+        # flat params-only npz (train.save_params_npz) — the committed
+        # cross-round checkpoint format. Adopt the npz's head geometry
+        # before loading: the template tree must match exactly.
+        import dataclasses
+        from .train import load_params_npz
+        flat = np.load(checkpoint_path)
+        for key in flat.files:
+            if "classifier" in key and "kernel" in key:
+                n_cls = int(flat[key].shape[-1])
+                if n_cls != cfg.num_classes:
+                    cfg = dataclasses.replace(cfg, num_classes=n_cls)
+                    model = FourDNet(cfg)
+                    params = model.init({"params": rng, "dropout": rng},
+                                        dummy, dummy, training=False)
+                break
+        params = load_params_npz(params, checkpoint_path)
+    elif checkpoint_path is not None:
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckptr:
             try:

@@ -58,6 +58,10 @@ class TrainConfig:
     # full 129-token geometry — see the rationale in fourdnet.py; mirrors
     # the reference's multi-stream CE weighting (make_loss.py:41-93).
     aux_tower_weight: float = 0.5
+    # cross-round resume: shift the cosine schedule by this many steps when
+    # warm-starting from a params-only npz (fresh optimizer state cannot
+    # carry optax's internal step count)
+    schedule_offset_steps: int = 0
 
 
 class TrainState(struct.PyTreeNode):
@@ -71,9 +75,12 @@ class TrainState(struct.PyTreeNode):
 def cosine_schedule(cfg: TrainConfig) -> optax.Schedule:
     total = cfg.epochs * cfg.steps_per_epoch
     warmup = min(cfg.warmup_epochs * cfg.steps_per_epoch, max(total - 1, 0))
-    return optax.warmup_cosine_decay_schedule(
+    base = optax.warmup_cosine_decay_schedule(
         init_value=cfg.base_lr * 0.01, peak_value=cfg.base_lr,
         warmup_steps=max(warmup, 1), decay_steps=max(total, 2))
+    if cfg.schedule_offset_steps:
+        return lambda count: base(count + cfg.schedule_offset_steps)
+    return base
 
 
 def _trainable_mask(params, lora_only: bool):
@@ -319,3 +326,58 @@ def restore_checkpoint(state: TrainState, ckpt_dir: str, step: int) -> TrainStat
     return state.replace(params=restored["params"],
                          opt_state=restored["opt_state"],
                          step=restored["step"])
+
+
+def save_params_npz(params, path: str):
+    """Portable params-only checkpoint: one flat .npz, f32 leaves stored as
+    f16 (~2.4x smaller than orbax f32; weight-rounding only — optimizer
+    state is intentionally dropped). Exists because orbax step dirs are too
+    heavy to commit, and git is the only state that survives between build
+    rounds — the reference has no cross-machine checkpoint format either
+    (it torch.save's raw state_dicts, processor_depth.py:119)."""
+    from jax.tree_util import tree_flatten_with_path, keystr
+    flat = {}
+    for kp, leaf in tree_flatten_with_path(params)[0]:
+        arr = np.asarray(leaf)
+        if arr.dtype == np.float32:
+            arr = arr.astype(np.float16)
+        flat[keystr(kp)] = arr
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(template, path: str):
+    """Inverse of save_params_npz: rebuild `template`'s tree/dtypes from the
+    flat npz. Keys are jax keystr paths of the template — the npz must come
+    from the same model geometry (head size adoption is the caller's job)."""
+    from jax.tree_util import (tree_flatten_with_path, tree_unflatten,
+                               keystr)
+    data = np.load(path)
+    pairs, treedef = tree_flatten_with_path(template)
+    leaves = []
+    for kp, leaf in pairs:
+        key = keystr(kp)
+        if key not in data:
+            raise KeyError(f"npz checkpoint missing param {key}")
+        leaves.append(jnp.asarray(data[key].astype(np.asarray(leaf).dtype)))
+    return tree_unflatten(treedef, leaves)
+
+
+def flat_npz_to_tree(path: str) -> dict:
+    """Template-free load: rebuild the nested params dict straight from the
+    npz's keystr keys ("['params']['towers']['...']"). For consumers that
+    have no init-time template (eval scripts); f16 leaves come back f32."""
+    import re
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        parts = re.findall(r"\['([^']+)'\]", key)
+        if not parts:
+            raise ValueError(f"unparseable npz key {key!r}")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = data[key]
+        if arr.dtype == np.float16:
+            arr = arr.astype(np.float32)
+        node[parts[-1]] = arr
+    return tree

@@ -34,9 +34,13 @@ def main():
     from instance_based_loc_tpu.models.dator.metrics import (cosine_distmat,
                                                              cmc_map)
 
-    with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(os.path.abspath(args.checkpoint))
-    params = raw["params"] if "params" in raw else raw
+    if args.checkpoint.endswith(".npz"):
+        from instance_based_loc_tpu.models.dator.train import flat_npz_to_tree
+        params = flat_npz_to_tree(args.checkpoint)
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            raw = ckptr.restore(os.path.abspath(args.checkpoint))
+        params = raw["params"] if "params" in raw else raw
     n_cls = int(np.asarray(
         params["params"]["classifier"]["kernel"]).shape[-1])
     import dataclasses
