@@ -4,6 +4,7 @@ the embedder's .npz loading path. This is the only checkpoint format that
 survives the build container between rounds (via git), so a silent break
 here costs a full training run."""
 
+import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -78,3 +79,17 @@ def test_embedder_loads_npz_and_adopts_head_geometry(tmp_path):
                 full_depth_image=depth)
     assert out.shape == (1, TINY_CFG.reduced_dim)
     assert np.all(np.isfinite(out))
+
+
+def test_schedule_offset_continues_cosine():
+    from instance_based_loc_tpu.models.dator.train import cosine_schedule
+
+    base_cfg = TrainConfig(base_lr=1e-3, epochs=10, steps_per_epoch=10,
+                           warmup_epochs=1)
+    shifted = dataclasses.replace(base_cfg, schedule_offset_steps=37)
+    base = cosine_schedule(base_cfg)
+    sched = cosine_schedule(shifted)
+    # step k of the warm-started run == step k+37 of the original schedule
+    for k in (0, 5, 20, 60):
+        np.testing.assert_allclose(float(sched(k)), float(base(k + 37)),
+                                   rtol=1e-6)
