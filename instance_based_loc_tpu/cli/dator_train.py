@@ -21,16 +21,24 @@ import time
 import numpy as np
 
 
+_EVAL_APPLY_CACHE: dict = {}
+
+
 def evaluate(state, sampler, samples, cfg, ablation: str = "both"):
     """R1/mAP eval with modality ablations (processor_depth.py:132-250)."""
     import jax
     import jax.numpy as jnp
     from ..models.dator.metrics import cosine_distmat, cmc_map, k_reciprocal_rerank
 
-    # jit once: the raw apply_fn dispatches op-by-op — thousands of remote
-    # ops per batch over the tunnel (measured ~10 min/ablation; ~20 s jitted)
-    apply = jax.jit(
-        lambda p, r, d: state.apply_fn(p, r, d, training=False))
+    # jit once PER RUN, not per evaluate() call: the raw apply_fn dispatches
+    # op-by-op (measured ~10 min/ablation over the tunnel; ~20 s jitted),
+    # and a fresh lambda per call would re-trace + remote-recompile at
+    # every eval point
+    apply = _EVAL_APPLY_CACHE.get(id(state.apply_fn))
+    if apply is None:
+        fn = state.apply_fn
+        apply = jax.jit(lambda p, r, d: fn(p, r, d, training=False))
+        _EVAL_APPLY_CACHE[id(state.apply_fn)] = apply
     feats, pids = [], []
     bs = cfg.data.batch_size
     idxs = list(range(len(samples)))
@@ -108,12 +116,6 @@ def main(argv=None):
                                       make_pjit_train_step, save_checkpoint)
 
     cfg = load_config(args.config, args.opts)
-    if args.init_npz and args.resume_epoch:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, train=_dc.replace(
-            cfg.train,
-            schedule_offset_steps=args.resume_epoch
-            * cfg.train.steps_per_epoch))
     os.makedirs(cfg.output_dir, exist_ok=True)
 
     samples = scan_instance_dirs(cfg.data.root)
@@ -133,6 +135,22 @@ def main(argv=None):
 
     sampler = PKSampler(samples, cfg.data.batch_size, cfg.data.num_instances,
                         seed=cfg.data.seed)
+
+    # steps/epoch is data-driven (PKSampler drops ragged P×K remainders) —
+    # the cosine horizon and any warm-start offset must use the REAL count,
+    # not the config default, or the LR decays on the wrong clock
+    # (ADVICE r4 #1: silent LR discontinuity on resume)
+    actual_spe = len(sampler.epoch_batches(0))
+    if actual_spe != cfg.train.steps_per_epoch:
+        print(f"steps_per_epoch: config {cfg.train.steps_per_epoch} -> "
+              f"actual {actual_spe} (cosine horizon follows the data)")
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, steps_per_epoch=actual_spe))
+    if args.init_npz and args.resume_epoch:
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train,
+            schedule_offset_steps=args.resume_epoch
+            * cfg.train.steps_per_epoch))
 
     # held-out eval split (VERDICT r3 item 1: rank1 must be measured on
     # identities' UNSEEN samples, not the training set)
@@ -162,8 +180,11 @@ def main(argv=None):
               f"(step={int(state.step)})")
     elif args.init_npz:
         from ..models.dator.train import load_params_npz
+        # strict=False: params the current model grew since the npz was
+        # written (e.g. the BNNeck bottleneck) keep their fresh init
         state = state.replace(
-            params=load_params_npz(state.params, args.init_npz))
+            params=load_params_npz(state.params, args.init_npz,
+                                   strict=False))
         start_epoch = args.resume_epoch
         print(f"warm-started params from {args.init_npz}; continuing at "
               f"epoch {start_epoch} (schedule offset "
@@ -189,11 +210,14 @@ def main(argv=None):
                                        (cfg.data.batch_size, cfg.data.height,
                                         cfg.data.width))
 
+    from ..models.dator.train import save_params_npz
+    best_rank1 = -1.0
     with mesh:
         for epoch in range(start_epoch, cfg.train.epochs):
             t0 = time.time()
             batches = sampler.epoch_batches(epoch)
             losses = []
+            id_losses = []
             # Pipelined stepping: fetching the loss synchronously every step
             # serializes host batch prep against device execution (and pays
             # the tunnel round-trip per step). Keep a small window of
@@ -220,11 +244,15 @@ def main(argv=None):
                                                          (rgb, depth, pids))
                     state, metrics = step_fn(state, rgb_s, depth_s, pids_s,
                                              rng)
-                pending.append(metrics["loss"])
+                pending.append((metrics["loss"], metrics["id_loss"]))
                 aux_last = metrics
                 if len(pending) > 4:
-                    losses.append(float(pending.pop(0)))
-            losses.extend(float(l) for l in pending)
+                    l, il = pending.pop(0)
+                    losses.append(float(l))
+                    id_losses.append(float(il))
+            for l, il in pending:
+                losses.append(float(l))
+                id_losses.append(float(il))
             dt = time.time() - t0
             sps = len(batches) * cfg.data.batch_size / max(dt, 1e-9)
             # last-batch loss components: is CE or triplet stuck at its
@@ -234,8 +262,24 @@ def main(argv=None):
                 aux = " ".join(
                     f"{k}={float(v):.3f}" for k, v in sorted(aux_last.items())
                     if k != "loss")
+            mean_id = float(np.mean(id_losses)) if id_losses else float("nan")
             print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+                  f"epoch_id_loss={mean_id:.4f} "
                   f"({dt:.1f}s, {sps:.1f} samples/s) {aux}")
+
+            # kill-gate (VERDICT r4 item 2): a flat id_loss at gate_epoch
+            # means the fusion embedding is dead — burn no more chip time
+            if (cfg.train.gate_epoch and epoch + 1 == cfg.train.gate_epoch
+                    and mean_id > cfg.train.gate_id_loss):
+                save_checkpoint(state, os.path.abspath(cfg.output_dir),
+                                epoch + 1)
+                print(f"KILL-GATE: epoch_id_loss={mean_id:.4f} > "
+                      f"{cfg.train.gate_id_loss} at epoch {epoch + 1} "
+                      f"(uniform floor ln(C)={np.log(num_classes):.3f}). "
+                      f"The fusion head is not learning — aborting the "
+                      f"schedule; checkpoint saved for diagnosis.")
+                import sys
+                sys.exit(3)
 
             if (epoch + 1) % cfg.eval.period == 0:
                 for split, e_sampler, e_samples in eval_sets:
@@ -244,8 +288,19 @@ def main(argv=None):
                                      ablation)
                         print(f"  eval[{split}/{ablation}]: " +
                               " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                        if (split == "val" and ablation == "both"
+                                and m.get("rank1", -1) > best_rank1):
+                            best_rank1 = m["rank1"]
+                            path = os.path.join(cfg.output_dir,
+                                                "best_params.npz")
+                            save_params_npz(state.params, path)
+                            print(f"  best val rank1={best_rank1:.4f} -> "
+                                  f"{path} (epoch {epoch + 1})")
             if (epoch + 1) % cfg.eval.checkpoint_period == 0:
                 save_checkpoint(state, os.path.abspath(cfg.output_dir), epoch + 1)
+                save_params_npz(state.params,
+                                os.path.join(cfg.output_dir,
+                                             "params_latest.npz"))
                 print(f"  checkpoint @ epoch {epoch + 1}")
     save_checkpoint(state, os.path.abspath(cfg.output_dir), cfg.train.epochs)
     return state

@@ -55,7 +55,9 @@ def build_dator_embedder(checkpoint_path: str | None = None,
                     params = model.init({"params": rng, "dropout": rng},
                                         dummy, dummy, training=False)
                 break
-        params = load_params_npz(params, checkpoint_path)
+        # strict=False: pre-BNNeck npz checkpoints lack the bottleneck
+        # params; fresh init there is identity BN (mean 0 / var 1 / scale 1)
+        params = load_params_npz(params, checkpoint_path, strict=False)
     elif checkpoint_path is not None:
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckptr:

@@ -46,6 +46,16 @@ class FourDNetConfig:
     deform_m: int = 8
     deform_k: int = 3
     modality_dropout: bool = True
+    # BNNeck bottleneck before the classifier (the reference repo's own
+    # TransReID head pattern — make_model.py:165-171 build_transformer:
+    # BatchNorm1d with frozen bias + bias-free classifier — which FourDNet
+    # omits at :824-843). Required for from-scratch training: the raw
+    # token-mean embedding carries a constant DC component ~4 orders of
+    # magnitude larger than its sample-dependent variation (measured on the
+    # r4 checkpoint: mean-norm 9.86, per-sample std 4.4e-4, pairwise raw
+    # cosines 0.9999998), so CE floors at ln(C) and triplet at softplus(0).
+    # Batch-centering per feature removes the DC and rescales to unit SNR.
+    bnneck: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -189,7 +199,19 @@ class FourDNet(nn.Module):
                  + rgb_path * rgb_filter[..., None])
         embedding = jnp.mean(final, axis=-2)          # (B, 128)
 
-        cls_score = nn.Dense(c.num_classes, name="classifier")(embedding)
+        if c.bnneck:
+            # BNNeck (see FourDNetConfig.bnneck): batch-centered feature is
+            # both the classifier input and the served re-ID feature
+            # (inference uses running stats). beta frozen at 0 and bias-free
+            # classifier, matching the reference's build_transformer neck.
+            embedding = nn.BatchNorm(
+                use_running_average=not training, momentum=0.9,
+                epsilon=1e-5, use_bias=False, use_scale=True,
+                dtype=jnp.float32, name="bottleneck")(embedding)
+            cls_score = nn.Dense(c.num_classes, use_bias=False,
+                                 name="classifier")(embedding)
+        else:
+            cls_score = nn.Dense(c.num_classes, name="classifier")(embedding)
         if training:
             # Train-time auxiliary CE heads on the two towers' CLS tokens.
             # From-scratch training (this environment has no ImageNet

@@ -62,6 +62,12 @@ class TrainConfig:
     # warm-starting from a params-only npz (fresh optimizer state cannot
     # carry optax's internal step count)
     schedule_offset_steps: int = 0
+    # kill-gate (VERDICT r4 item 2): abort the run with a diagnosis if the
+    # fusion head's CE is still pinned near the ln(C) uniform floor at
+    # `gate_epoch` — flat id_loss means the embedding is dead and the rest
+    # of the schedule is wasted chip time. gate_epoch=0 disables.
+    gate_epoch: int = 20
+    gate_id_loss: float = 5.5
 
 
 class TrainState(struct.PyTreeNode):
@@ -89,6 +95,11 @@ def _trainable_mask(params, lora_only: bool):
     pretrained weights — make_model.py freezes only the backbones)."""
     def decide(path, _leaf):
         names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if any(n == "batch_stats" for n in names):
+            # BN running stats: updated by the forward pass's mutable
+            # collection, never by the optimizer (adamw's weight decay on
+            # zero-grad leaves would otherwise decay them)
+            return False
         in_towers = any("towers" in n for n in names)
         is_lora = any("lora" in n for n in names)
         if not in_towers:
@@ -192,8 +203,9 @@ def train_step(state: TrainState, rgb, depth, labels, rng,
     rgb, depth = dequantize_batch(rgb, depth)
 
     def loss_fn(params):
-        out = state.apply_fn(
-            params, rgb, depth, training=True, rngs={"dropout": rng})
+        out, mutated = state.apply_fn(
+            params, rgb, depth, training=True, rngs={"dropout": rng},
+            mutable=["batch_stats"])
         cls_score, feat = out[0], out[1]
         aux_scores = out[2] if len(out) > 2 else ()
         id_score = cls_score
@@ -224,11 +236,20 @@ def train_step(state: TrainState, rgb, depth, labels, rng,
             aux["center_loss"] = c_loss
         acc = jnp.mean((jnp.argmax(cls_score, -1) == labels).astype(jnp.float32))
         aux["acc"] = acc
-        return total, aux
+        return total, (aux, mutated)
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    (loss, (aux, mutated)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
+    if "batch_stats" in mutated:
+        # carry the BNNeck running stats forward (the optimizer freezes them)
+        if hasattr(new_params, "copy") and not isinstance(new_params, dict):
+            new_params = new_params.copy(
+                {"batch_stats": mutated["batch_stats"]})
+        else:
+            new_params = {**new_params,
+                          "batch_stats": mutated["batch_stats"]}
     new_state = state.replace(step=state.step + 1, params=new_params,
                               opt_state=new_opt)
     metrics = dict(loss=loss, **aux)
@@ -341,24 +362,52 @@ def save_params_npz(params, path: str):
         arr = np.asarray(leaf)
         if arr.dtype == np.float32:
             arr = arr.astype(np.float16)
+            if not np.isfinite(arr).all():
+                # |w| > 65504 becomes inf in f16 — fail at save time, not
+                # as a silent poison for the next round's warm start
+                raise ValueError(
+                    f"save_params_npz: non-finite values after f16 cast in "
+                    f"{keystr(kp)} (f32 max abs "
+                    f"{np.abs(np.asarray(leaf)).max():.3e})")
         flat[keystr(kp)] = arr
     np.savez_compressed(path, **flat)
 
 
-def load_params_npz(template, path: str):
+def load_params_npz(template, path: str, strict: bool = True):
     """Inverse of save_params_npz: rebuild `template`'s tree/dtypes from the
     flat npz. Keys are jax keystr paths of the template — the npz must come
-    from the same model geometry (head size adoption is the caller's job)."""
+    from the same model geometry (head size adoption is the caller's job).
+
+    strict=False keeps the template's (freshly initialized) leaf for any key
+    the npz is missing — the cross-round warm-start path, where the current
+    model may have grown new head params (e.g. the BNNeck) since the npz was
+    written. Shape mismatches always raise with both shapes named."""
     from jax.tree_util import (tree_flatten_with_path, tree_unflatten,
                                keystr)
     data = np.load(path)
     pairs, treedef = tree_flatten_with_path(template)
     leaves = []
+    missing = []
     for kp, leaf in pairs:
         key = keystr(kp)
+        tleaf = np.asarray(leaf)
         if key not in data:
-            raise KeyError(f"npz checkpoint missing param {key}")
-        leaves.append(jnp.asarray(data[key].astype(np.asarray(leaf).dtype)))
+            if strict:
+                raise KeyError(f"npz checkpoint missing param {key}")
+            missing.append(key)
+            leaves.append(jnp.asarray(tleaf))
+            continue
+        arr = data[key]
+        if tuple(arr.shape) != tuple(tleaf.shape):
+            raise ValueError(
+                f"npz checkpoint shape mismatch at {key}: checkpoint "
+                f"{tuple(arr.shape)} vs model {tuple(tleaf.shape)} — "
+                f"geometry drifted since the npz was written")
+        leaves.append(jnp.asarray(arr.astype(tleaf.dtype)))
+    if missing:
+        print(f"load_params_npz: {len(missing)} params not in {path}, "
+              f"kept fresh init: {missing[:6]}"
+              + (" ..." if len(missing) > 6 else ""))
     return tree_unflatten(treedef, leaves)
 
 

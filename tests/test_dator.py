@@ -56,10 +56,12 @@ def test_fourdnet_forward_shapes(rng):
     tower_kernel = params["params"]["towers"]["patch_embed"]["kernel"]
     assert tower_kernel.shape[0] == 2
 
-    # modality dropout path runs under training; aux CLS heads come back
-    score_t, _, (aux_r, aux_d) = model.apply(params, rgb, depth,
-                                             training=True,
-                                             rngs={"dropout": key})
+    # modality dropout path runs under training; aux CLS heads come back.
+    # training=True updates the BNNeck running stats -> mutable collection
+    (score_t, _, (aux_r, aux_d)), _ = model.apply(params, rgb, depth,
+                                                  training=True,
+                                                  rngs={"dropout": key},
+                                                  mutable=["batch_stats"])
     assert score_t.shape == (2, 5)
     assert aux_r.shape == (2, 5) and aux_d.shape == (2, 5)
 
