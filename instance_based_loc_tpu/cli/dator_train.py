@@ -103,6 +103,12 @@ def main(argv=None):
                         help="with --init-npz: epoch to continue from "
                              "(advances the cosine schedule by fast-running "
                              "the step counter)")
+    parser.add_argument("--init-npz-filter", type=str, default=None,
+                        help="comma-separated substrings; with --init-npz, "
+                             "load ONLY params whose path contains one of "
+                             "them (e.g. 'towers,aux_' = warm-start the "
+                             "backbones + aux heads, re-init the fusion "
+                             "head fresh). Others keep their fresh init")
     parser.add_argument("opts", nargs="*", help="dotted overrides a.b=c")
     args = parser.parse_args(argv)
 
@@ -182,9 +188,11 @@ def main(argv=None):
         from ..models.dator.train import load_params_npz
         # strict=False: params the current model grew since the npz was
         # written (e.g. the BNNeck bottleneck) keep their fresh init
+        filt = (args.init_npz_filter.split(",")
+                if args.init_npz_filter else None)
         state = state.replace(
             params=load_params_npz(state.params, args.init_npz,
-                                   strict=False))
+                                   strict=False, key_filter=filt))
         start_epoch = args.resume_epoch
         print(f"warm-started params from {args.init_npz}; continuing at "
               f"epoch {start_epoch} (schedule offset "

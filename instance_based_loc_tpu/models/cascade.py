@@ -186,6 +186,75 @@ class CascadeDetector:
                                               phrases)
         return results
 
+    def find_stream(self, frames, consider_floor: bool,
+                    chunk: int = 4) -> list[Detections]:
+        """Software-pipelined find over a frame stream (VERDICT r4 item 4:
+        "the cascade is a pipeline — serve it like one"). find_batch runs
+        its three stages strictly in sequence, so every host fetch/prep
+        (RAM tag decode -> keyword filter, GDINO box fetch -> SAM prompt
+        prep) leaves the device idle — ~2-3 tunnel round-trips per chunk.
+        Here chunk i+1's tagger program is dispatched BEFORE chunk i is
+        grounded, and chunk i's segmenter program is fetched only after
+        chunk i+1's work is queued: jax dispatch is async, so the device
+        always has a program in flight while the host decodes.
+
+        Per-frame results are bit-identical to find_batch (the pipeline
+        reorders dispatch, never computation inputs)."""
+        frames = [np.asarray(f) for f in frames]
+        if not frames:
+            return []
+        can_pipeline = (hasattr(self.tagger, "tag_batch_dispatch")
+                        and hasattr(self.segmenter, "segment_batch_dispatch"))
+        if not can_pipeline:
+            return self.find_batch(frames, consider_floor)
+
+        chunks = [frames[i:i + chunk] for i in range(0, len(frames), chunk)]
+        results: list[Detections | None] = []
+        tag_h = self.tagger.tag_batch_dispatch(chunks[0])
+        sam_pending = None   # (pend, chunk_frames, handle, base_index)
+        for ci, cframes in enumerate(chunks):
+            if ci + 1 < len(chunks):   # keep the device fed
+                next_tag_h = self.tagger.tag_batch_dispatch(chunks[ci + 1])
+            tags = self.tagger.tag_batch_finish(tag_h)
+
+            chunk_res: list[Detections | None] = [None] * len(cframes)
+            pend = []
+            for i, (img, cap) in enumerate(zip(cframes, tags)):
+                h, w = img.shape[:2]
+                keywords = self._keywords(list(cap), consider_floor)
+                kept_boxes, kept_phrases = self._ground(img, keywords)
+                if not kept_boxes:
+                    chunk_res[i] = Detections.empty(h, w)
+                else:
+                    pend.append((i, self._pixel_boxes(kept_boxes, w, h),
+                                 kept_phrases))
+
+            sam_h = (self.segmenter.segment_batch_dispatch(
+                [cframes[i] for i, _, _ in pend], [b for _, b, _ in pend])
+                if pend else None)
+
+            if sam_pending is not None:
+                p_pend, p_frames, p_h, p_res = sam_pending
+                for (i, boxes_xyxy, phrases), masks in zip(
+                        p_pend, self.segmenter.segment_batch_finish(p_h)):
+                    p_res[i] = self._detections(p_frames[i], boxes_xyxy,
+                                                masks, phrases)
+                results.extend(p_res)
+            sam_pending = (pend, cframes, sam_h, chunk_res) \
+                if sam_h is not None else None
+            if sam_h is None:
+                results.extend(chunk_res)
+            if ci + 1 < len(chunks):
+                tag_h = next_tag_h
+        if sam_pending is not None:
+            p_pend, p_frames, p_h, p_res = sam_pending
+            for (i, boxes_xyxy, phrases), masks in zip(
+                    p_pend, self.segmenter.segment_batch_finish(p_h)):
+                p_res[i] = self._detections(p_frames[i], boxes_xyxy,
+                                            masks, phrases)
+            results.extend(p_res)
+        return results
+
 
 def build_cascade_detector(ram_checkpoint: str | None = None,
                            gdino_checkpoint: str | None = None,

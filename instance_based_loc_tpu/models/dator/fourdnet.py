@@ -56,6 +56,22 @@ class FourDNetConfig:
     # cosines 0.9999998), so CE floors at ln(C) and triplet at softplus(0).
     # Batch-centering per feature removes the DC and rescales to unit SNR.
     bnneck: bool = True
+    # train-time decoupling: stop-gradient between the towers and the
+    # fusion head. The BNNeck multiplies fusion-head gradients by
+    # 1/batch_std (~2500x while the embedding is still collapsed); that
+    # amplified noise flowing into the towers destroyed warm-started tower
+    # features within one epoch (out/dator_r5_fulltrain_wrecked.log). With
+    # detach_fusion the towers train purely from the aux CE heads (the
+    # r4-proven recipe) and the fusion head trains on whatever the towers
+    # currently provide — neither path can hurt the other. Inference graph
+    # unchanged.
+    detach_fusion: bool = False
+    # train-time per-token CE on the fused token map (BN'd, shared
+    # classifier): makes the served token-MEAN embedding a mean of
+    # per-token-discriminative features — the reference's own multi-stream
+    # local-CE pattern (loss/make_loss.py:41-93 averages CE over local
+    # branches)
+    token_ce: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -151,6 +167,14 @@ class FourDNet(nn.Module):
         tokens = tower(stacked_in, cam, view)         # (2, B, 1+N, 768)
         rgb_tokens, depth_tokens = tokens[0], tokens[1]
 
+        # fusion-head input (see FourDNetConfig.detach_fusion); the aux
+        # heads below always read the raw, gradient-carrying tokens
+        if c.detach_fusion and training:
+            fus_rgb = jax.lax.stop_gradient(rgb_tokens)
+            fus_depth = jax.lax.stop_gradient(depth_tokens)
+        else:
+            fus_rgb, fus_depth = rgb_tokens, depth_tokens
+
         def project(tokens_, prefix):
             glob = nn.Dense(c.reduced_dim, name=f"project_global_{prefix}")(tokens_[:, 0])
             loc = nn.Dense(c.reduced_dim, name=f"project_local_{prefix}")(tokens_[:, 1:])
@@ -159,8 +183,8 @@ class FourDNet(nn.Module):
                 [jnp.broadcast_to(glob[:, None], (b, n, c.reduced_dim)), loc], axis=-1)
             return nn.Dense(c.reduced_dim, name=f"merge_local_global_{prefix}")(merged)
 
-        rgb_path = project(rgb_tokens, "rgb")        # (B, N, 128)
-        depth_path = project(depth_tokens, "depth")
+        rgb_path = project(fus_rgb, "rgb")           # (B, N, 128)
+        depth_path = project(fus_depth, "depth")
 
         # hypernet gate (make_model.py:583-593,703-714)
         h, w = c.grid_hw
@@ -234,6 +258,14 @@ class FourDNet(nn.Module):
             aux_d = nn.Dense(c.num_classes, name="aux_classifier_depth")(
                 nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                              name="aux_norm_depth")(depth_tokens[:, 0]))
+            if c.token_ce:
+                tok_bn = nn.BatchNorm(
+                    use_running_average=not training, momentum=0.9,
+                    epsilon=1e-5, use_bias=False, use_scale=True,
+                    dtype=jnp.float32, name="token_bottleneck")(final)
+                tok_scores = nn.Dense(c.num_classes, use_bias=False,
+                                      name="token_classifier")(tok_bn)
+                return cls_score, embedding, (aux_r, aux_d), tok_scores
             return cls_score, embedding, (aux_r, aux_d)
         if return_cls_tokens:
             return cls_score, embedding, (rgb_tokens[:, 0].astype(jnp.float32),

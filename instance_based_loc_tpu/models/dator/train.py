@@ -58,6 +58,9 @@ class TrainConfig:
     # full 129-token geometry — see the rationale in fourdnet.py; mirrors
     # the reference's multi-stream CE weighting (make_loss.py:41-93).
     aux_tower_weight: float = 0.5
+    # weight of the per-token CE on the fused token map (active when the
+    # model is built with token_ce=True; see fourdnet.FourDNetConfig)
+    token_ce_weight: float = 0.5
     # cross-round resume: shift the cosine schedule by this many steps when
     # warm-starting from a params-only npz (fresh optimizer state cannot
     # carry optax's internal step count)
@@ -229,6 +232,15 @@ def train_step(state: TrainState, rgb, depth, labels, rng,
                          for s in aux_scores) / len(aux_scores)
             total = total + train_cfg.aux_tower_weight * aux_ce
             aux["aux_tower_loss"] = aux_ce
+        if len(out) > 3 and train_cfg.token_ce_weight > 0:
+            from .losses import cross_entropy
+            tok_scores = out[3]                      # (B, N, C)
+            bsz, ntok, ncls = tok_scores.shape
+            tok_ce = cross_entropy(
+                tok_scores.reshape(bsz * ntok, ncls),
+                jnp.repeat(labels, ntok), train_cfg.label_smoothing)
+            total = total + train_cfg.token_ce_weight * tok_ce
+            aux["token_ce"] = tok_ce
         if train_cfg.center_loss_weight > 0:
             c_loss = center_loss(feat, labels,
                                  params["params"]["center_centers"])
@@ -373,7 +385,8 @@ def save_params_npz(params, path: str):
     np.savez_compressed(path, **flat)
 
 
-def load_params_npz(template, path: str, strict: bool = True):
+def load_params_npz(template, path: str, strict: bool = True,
+                    key_filter: list[str] | None = None):
     """Inverse of save_params_npz: rebuild `template`'s tree/dtypes from the
     flat npz. Keys are jax keystr paths of the template — the npz must come
     from the same model geometry (head size adoption is the caller's job).
@@ -381,16 +394,26 @@ def load_params_npz(template, path: str, strict: bool = True):
     strict=False keeps the template's (freshly initialized) leaf for any key
     the npz is missing — the cross-round warm-start path, where the current
     model may have grown new head params (e.g. the BNNeck) since the npz was
-    written. Shape mismatches always raise with both shapes named."""
+    written. Shape mismatches always raise with both shapes named.
+
+    key_filter: when given, ONLY keys containing one of these substrings
+    are loaded (others keep their template init) — selective warm-start,
+    e.g. ["towers", "aux_"] to take the trained backbones but re-init a
+    head whose npz weights encode a degenerate solution."""
     from jax.tree_util import (tree_flatten_with_path, tree_unflatten,
                                keystr)
     data = np.load(path)
     pairs, treedef = tree_flatten_with_path(template)
     leaves = []
     missing = []
+    skipped = 0
     for kp, leaf in pairs:
         key = keystr(kp)
         tleaf = np.asarray(leaf)
+        if key_filter is not None and not any(f in key for f in key_filter):
+            skipped += 1
+            leaves.append(jnp.asarray(tleaf))
+            continue
         if key not in data:
             if strict:
                 raise KeyError(f"npz checkpoint missing param {key}")
@@ -408,6 +431,9 @@ def load_params_npz(template, path: str, strict: bool = True):
         print(f"load_params_npz: {len(missing)} params not in {path}, "
               f"kept fresh init: {missing[:6]}"
               + (" ..." if len(missing) > 6 else ""))
+    if skipped:
+        print(f"load_params_npz: key_filter={key_filter} kept fresh init "
+              f"for {skipped} non-matching params")
     return tree_unflatten(treedef, leaves)
 
 

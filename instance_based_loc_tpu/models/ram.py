@@ -300,5 +300,50 @@ def build_ram_tagger(checkpoint_path: str | None = None,
         probs = _probs(imgs)[:len(frames)]
         return [_tags(p) for p in probs]
 
+    def tag_batch_dispatch(frames):
+        """Async half of tag_batch: queue the device program and return an
+        opaque handle (jax dispatch is async — the chip computes while the
+        host moves on; see CascadeDetector.find_stream's pipeline)."""
+        if not len(frames):
+            return ("empty", 0)
+        from ..parallel.cascade_serving import padded_count, pad_stacked
+        frames = [np.asarray(f, np.uint8) for f in frames]
+        if any(f.shape != frames[0].shape for f in frames):
+            return ("host", [tagger(f) for f in frames])
+        imgs = pad_stacked(np.stack(frames),
+                           padded_count(len(frames), serving_mesh))
+        x = jnp.asarray(imgs)
+        p = params
+        if serving_mesh is not None and imgs.shape[0] > 1:
+            from ..parallel.cascade_serving import (shard_stacked,
+                                                    replicate_params)
+            x = shard_stacked(serving_mesh, x)
+            p = replicate_params(serving_mesh, params, mesh_cache)
+        out = apply(p, x)
+        # consumer thread: the tunneled device only executes a dispatched
+        # program when an output is fetched (see .claude/skills/verify) —
+        # a background fetch makes the dispatch truly asynchronous on both
+        # tunneled and local devices
+        import threading
+        box: dict = {}
+
+        def _pull():
+            box["probs"] = np.asarray(out)
+
+        t = threading.Thread(target=_pull, daemon=True)
+        t.start()
+        return ("device", t, box, len(frames))
+
+    def tag_batch_finish(handle) -> list[list[str]]:
+        if handle[0] == "empty":
+            return []
+        if handle[0] == "host":
+            return handle[1]
+        _, t, box, n = handle
+        t.join()
+        return [_tags(p) for p in box["probs"][:n]]
+
     tagger.tag_batch = tag_batch
+    tagger.tag_batch_dispatch = tag_batch_dispatch
+    tagger.tag_batch_finish = tag_batch_finish
     return tagger

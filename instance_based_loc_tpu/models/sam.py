@@ -592,7 +592,53 @@ def build_sam_segmenter(checkpoint_path: str | None = None,
         masks = np.asarray(apply_batch_masks(pp, x, bx)[0])
         return [masks[i][: len(boxes_list[i])] for i in range(len(frames))]
 
+    def segment_batch_dispatch(frames, boxes_list):
+        """Async half of segment_batch: queue the vmapped device program,
+        return a handle for segment_batch_finish (find_stream pipeline)."""
+        from ..parallel.cascade_serving import (padded_count, pad_stacked,
+                                                replicate_params,
+                                                shard_stacked)
+        if not len(frames):
+            return ("empty",)
+        frames = [np.asarray(f, np.uint8) for f in frames]
+        if (any(f.shape != frames[0].shape for f in frames)
+                or any(len(b) > max_boxes for b in boxes_list)):
+            return ("host", [segmenter(f, b)
+                             for f, b in zip(frames, boxes_list)])
+        n = padded_count(len(frames), serving_mesh)
+        raws = pad_stacked(np.stack(frames), n)
+        boxes = pad_stacked(np.stack([_prep_boxes(f, b) for f, b
+                                      in zip(frames, boxes_list)]), n)
+        x, bx = jnp.asarray(raws), jnp.asarray(boxes)
+        pp = params
+        if serving_mesh is not None and len(raws) > 1:
+            x, bx = shard_stacked(serving_mesh, x, bx)
+            pp = replicate_params(serving_mesh, params, mesh_cache)
+        out = apply_batch_masks(pp, x, bx)[0]
+        # consumer thread — same tunnel-execution rationale as the tagger's
+        # dispatch half (a dispatched program only runs once fetched)
+        import threading
+        box: dict = {}
+
+        def _pull():
+            box["masks"] = np.asarray(out)
+
+        t = threading.Thread(target=_pull, daemon=True)
+        t.start()
+        return ("device", t, box, [len(b) for b in boxes_list])
+
+    def segment_batch_finish(handle):
+        if handle[0] == "empty":
+            return []
+        if handle[0] == "host":
+            return handle[1]
+        _, t, box, counts = handle
+        t.join()
+        return [box["masks"][i][:n] for i, n in enumerate(counts)]
+
     segmenter.segment_batch = segment_batch
+    segmenter.segment_batch_dispatch = segment_batch_dispatch
+    segmenter.segment_batch_finish = segment_batch_finish
     return segmenter
 
 

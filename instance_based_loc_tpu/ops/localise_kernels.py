@@ -37,6 +37,8 @@ from __future__ import annotations
 import itertools
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,12 +61,55 @@ def make_subsets(top_n: int, k: int = 3) -> np.ndarray:
     return np.asarray(list(itertools.combinations(range(top_n), k)), np.int32)
 
 
+# pools at least this large use the linear compaction path instead of
+# top_k when IBL_LINEAR_SUBSAMPLE=1. The top_k is the largest
+# h*w-scaling non-elementwise term of the prepare stage at 640x480
+# (307k-row sort x 7 lanes), but the linear path's full-pool gathers
+# measured 2.6x SLOWER on CPU (perf/subsample_probe.py) — which way the
+# TPU falls is an on-chip A/B, so the default stays top_k until measured.
+_LINEAR_SUBSAMPLE_MIN = (1 << 15 if os.environ.get("IBL_LINEAR_SUBSAMPLE")
+                         else 1 << 62)
+
+_PERM_CACHE: dict = {}
+
+
+def _fixed_perm(n: int) -> np.ndarray:
+    """A fixed pseudo-random permutation of range(n), baked into the program
+    as a constant (one per pool size)."""
+    if n not in _PERM_CACHE:
+        _PERM_CACHE[n] = np.random.default_rng(0x5eed).permutation(n) \
+            .astype(np.int32)
+    return _PERM_CACHE[n]
+
+
+def _masked_subsample_linear(valid: jax.Array, cap: int, key: jax.Array):
+    """O(P) uniform masked subsample for image-scale pools: walk the pool in
+    a randomly rotated fixed permutation order and keep the first `cap`
+    valid rows (cumsum + searchsorted — no sort). The rotation makes the
+    draw key-dependent; the fixed permutation makes it spatially unbiased.
+    Exactly reproduces _masked_subsample's contract: a uniform random
+    cap-subset when count > cap, all valid rows when count <= cap, valid
+    rows first in the output."""
+    n = valid.shape[0]
+    rows = jnp.roll(jnp.asarray(_fixed_perm(n)),
+                    jax.random.randint(key, (), 0, n))
+    pv = valid[rows]
+    c = jnp.cumsum(pv.astype(jnp.int32))
+    total = c[-1]
+    # position of the s-th valid row in permutation order (c is sorted)
+    pos = jnp.searchsorted(c, jnp.arange(1, cap + 1, dtype=jnp.int32))
+    idx = rows[jnp.clip(pos, 0, n - 1)]
+    return idx, jnp.arange(cap) < jnp.minimum(total, cap)
+
+
 def _masked_subsample(points: jax.Array, valid: jax.Array, cap: int,
                       key: jax.Array):
     """Pick up to `cap` valid rows uniformly at random (all of them when
     count <= cap). Returns (idx (cap,), keep (cap,)) with valid rows first."""
+    n = valid.shape[0]
+    if n >= _LINEAR_SUBSAMPLE_MIN and cap < n:
+        return _masked_subsample_linear(valid, cap, key)
     scores = jnp.where(valid, jax.random.uniform(key, valid.shape), -jnp.inf)
-    n = scores.shape[0]
     if cap >= n:   # pool smaller than the budget: take everything, pad
         top, idx = jax.lax.top_k(scores, n)
         pad = cap - n

@@ -44,7 +44,13 @@ def main():
     n_cls = int(np.asarray(
         params["params"]["classifier"]["kernel"]).shape[-1])
     import dataclasses
-    cfg = dataclasses.replace(FourDNetConfig(), num_classes=n_cls)
+    # pre-BNNeck checkpoints have no bottleneck params: evaluate them under
+    # the architecture they were trained as (bnneck=False)
+    has_neck = "bottleneck" in params.get("params", {})
+    cfg = dataclasses.replace(FourDNetConfig(), num_classes=n_cls,
+                              bnneck=has_neck)
+    if not has_neck:
+        print("(pre-BNNeck checkpoint: evaluating with bnneck=False)")
     model = FourDNet(cfg)
     params = jax.device_put(params)
 

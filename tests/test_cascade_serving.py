@@ -378,3 +378,59 @@ def test_build_memory_detect_batch_parity(tmp_path, rng):
         assert len(other.memory) == len(m1.memory)
         for a, b in zip(m1.memory, other.memory):
             np.testing.assert_allclose(a.centroid, b.centroid, atol=1e-6)
+
+
+def test_find_stream_matches_find_batch(rng):
+    """The software-pipelined stream (dispatch skew across chunks) must be
+    result-identical to find_batch — the pipeline reorders dispatch, never
+    computation inputs. Covers: multi-chunk streams, a chunk with zero
+    groundings (no segment dispatch), and a ragged final chunk."""
+    frames = [(rng.random((40, 48, 3)) * 255).astype(np.uint8)
+              for _ in range(5)]
+    frames[2] = np.full((40, 48, 3), 20, np.uint8)   # tags only "lamp"
+
+    st = _FakeStages()
+
+    def tag(img):
+        return st.tagger(img)
+
+    def seg(img, boxes):
+        return st.segmenter(img, boxes)
+
+    tag.tag_batch = st.tag_batch
+    tag.tag_batch_dispatch = lambda fs: ("h", st.tag_batch(fs))
+    tag.tag_batch_finish = lambda h: h[1]
+    seg.segment_batch = st.segment_batch
+    seg.segment_batch_dispatch = lambda fs, bs: ("h", st.segment_batch(fs, bs))
+    seg.segment_batch_finish = lambda h: h[1]
+
+    det = CascadeDetector(tag, st.grounder, seg)
+    want = det.find_batch(frames, consider_floor=False)
+    got = det.find_stream(frames, consider_floor=False, chunk=2)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        _assert_detections_equal(g, w)
+
+    # all-empty stream chunk ordering: every frame grounds nothing
+    empty_frames = [np.full((40, 48, 3), 20, np.uint8)] * 3
+    got = det.find_stream(empty_frames, consider_floor=False, chunk=2)
+    assert all(len(g) == 0 for g in got)
+
+
+def test_find_stream_real_tiny_models(rng, tiny_ram_tagger, tiny_sam_builder):
+    """find_stream through the REAL tagger/segmenter dispatch/finish halves
+    (device handles, not host fakes) equals find_batch."""
+    tagger = tiny_ram_tagger()
+    segmenter = tiny_sam_builder()
+
+    def grounder(img, keyword):
+        return (np.array([[0.5, 0.5, 0.4, 0.4]], np.float32),
+                np.array([0.9]))
+
+    det = CascadeDetector(tagger, grounder, segmenter)
+    frames = [(rng.random((24, 24, 3)) * 255).astype(np.uint8)
+              for _ in range(3)]
+    want = det.find_batch(frames, consider_floor=False)
+    got = det.find_stream(frames, consider_floor=False, chunk=2)
+    for g, w in zip(got, want):
+        _assert_detections_equal(g, w)

@@ -183,3 +183,43 @@ def test_ransac_partition_knob_quality():
         assert trans_err < 0.6, (knob, trans_err)
         assert rot_err < 0.3, (knob, rot_err)
         assert len(assn) >= 1
+
+
+def test_masked_subsample_linear_contract(rng):
+    """The O(P) linear compaction path (image-scale pools) must honor the
+    _masked_subsample contract: uniform cap-subset of the valid rows when
+    count > cap, ALL valid rows when count <= cap, valid-first output."""
+    import jax
+    from instance_based_loc_tpu.ops.localise_kernels import (
+        _masked_subsample_linear)
+
+    n = 1 << 16
+    key = jax.random.PRNGKey(7)
+
+    # sparse: fewer valid rows than the budget -> every one kept exactly
+    valid = np.zeros(n, bool)
+    chosen = rng.choice(n, size=100, replace=False)
+    valid[chosen] = True
+    idx, keep = jax.jit(
+        lambda v, k: _masked_subsample_linear(v, 256, k))(
+            jnp.asarray(valid), key)
+    idx, keep = np.asarray(idx), np.asarray(keep)
+    assert keep.sum() == 100
+    assert keep[:100].all() and not keep[100:].any()   # valid rows first
+    assert set(idx[keep]) == set(chosen)
+
+    # dense: more valid than budget -> exactly cap distinct valid rows
+    valid = rng.random(n) < 0.5
+    idx, keep = jax.jit(
+        lambda v, k: _masked_subsample_linear(v, 256, k))(
+            jnp.asarray(valid), key)
+    idx, keep = np.asarray(idx), np.asarray(keep)
+    assert keep.all()
+    assert valid[idx].all()
+    assert len(set(idx.tolist())) == 256
+
+    # key-dependence: different keys draw different subsets
+    idx2, _ = jax.jit(
+        lambda v, k: _masked_subsample_linear(v, 256, k))(
+            jnp.asarray(valid), jax.random.PRNGKey(8))
+    assert set(np.asarray(idx2).tolist()) != set(idx.tolist())

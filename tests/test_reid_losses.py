@@ -138,10 +138,13 @@ def test_train_step_with_margin_head_and_center(rng):
     depth = jnp.asarray(rng.normal(size=(8, 32, 16, 3)).astype(np.float32))
     labels = jnp.asarray(rng.integers(0, 5, size=8))
     losses = []
-    for i in range(3):
+    for i in range(8):
         state, metrics = train_step(state, rgb, depth, labels,
                                     jax.random.PRNGKey(i), cfg)
         assert np.isfinite(float(metrics["loss"]))
         assert "center_loss" in metrics
         losses.append(float(metrics["loss"]))
-    assert losses[-1] < losses[0]
+    # the BNNeck's batch statistics settle over the first few steps
+    # (unit-scale post-BN triplet distances), so compare past the
+    # transient: the tail must be below the early-window mean
+    assert np.mean(losses[-2:]) < np.mean(losses[:4]), losses
