@@ -222,6 +222,11 @@ class FourDNet(nn.Module):
         final = (depth_path * depth_filter[..., None]
                  + rgb_path * rgb_filter[..., None])
         embedding = jnp.mean(final, axis=-2)          # (B, 128)
+        # raw pre-BNNeck embedding, exposed as an intermediate for (a) the
+        # reference triplet placement (make_loss.py computes triplet on the
+        # pre-bottleneck global_feat) and (b) collapse diagnostics; costs
+        # nothing unless applied with mutable=["intermediates"]
+        self.sow("intermediates", "embedding_raw", embedding)
 
         if c.bnneck:
             # BNNeck (see FourDNetConfig.bnneck): batch-centered feature is

@@ -61,6 +61,20 @@ class TrainConfig:
     # weight of the per-token CE on the fused token map (active when the
     # model is built with token_ce=True; see fourdnet.FourDNetConfig)
     token_ce_weight: float = 0.5
+    # which feature the batch-hard triplet sees:
+    #   post_bn      — the served post-BNNeck embedding, raw euclidean.
+    #                  UNSAFE with bnneck: the triplet can minimize itself
+    #                  by driving the BN scale gamma -> 0, which zeroes the
+    #                  classifier logits too (the r5 flat-id_loss signature:
+    #                  triplet 11 -> softplus(0) while CE pinned at ln(C)).
+    #   pre_bn       — the reference's placement (make_loss.py:41-93 uses
+    #                  the pre-bottleneck global_feat).
+    #   post_bn_norm — L2-normalized post-BN feature: scale-invariant, the
+    #                  collapse channel is closed by construction.
+    triplet_feature: str = "post_bn_norm"
+    # device-side flip/crop/erase augmentation (reference INPUT config);
+    # off by default so fit-probe/smoke paths stay deterministic
+    augment: bool = False
     # cross-round resume: shift the cosine schedule by this many steps when
     # warm-starting from a params-only npz (fresh optimizer state cannot
     # carry optax's internal step count)
@@ -155,15 +169,27 @@ def load_pretrained_towers(params, hf_state_dict, backbone_cfg):
 
 def create_train_state(model_cfg: FourDNetConfig, train_cfg: TrainConfig,
                        rng: jax.Array, height: int = 256, width: int = 128,
-                       pretrained_path: str | None = None) -> TrainState:
+                       pretrained_path: str | None = None,
+                       host_init: bool = True) -> TrainState:
     model = FourDNet(model_cfg)
     dummy_rgb = jnp.zeros((2, height, width, 3), jnp.float32)
     dummy_depth = jnp.zeros((2, height, width, 3), jnp.float32)
     # training=True so the train-only aux tower heads get params (flax
     # only creates params for executed branches); inference-time apply
     # simply never reads them
-    params = model.init({"params": rng, "dropout": rng},
-                        dummy_rgb, dummy_depth, training=True)
+    if host_init:
+        # model.init is a fresh remote compile over the axon tunnel
+        # (minutes for the dual-ViT graph); host_train_init reproduces the
+        # declared initializer distributions from eval_shape alone
+        from ..init_utils import host_train_init
+        seed = int(np.asarray(
+            jax.random.randint(rng, (), 0, 2**31 - 1)))
+        params = host_train_init(model, seed, dummy_rgb, dummy_depth,
+                                 training=True,
+                                 rngs={"params": rng, "dropout": rng})
+    else:
+        params = model.init({"params": rng, "dropout": rng},
+                            dummy_rgb, dummy_depth, training=True)
     if train_cfg.center_loss_weight > 0:
         import flax
         feat_dim = params["params"]["classifier"]["kernel"].shape[0]
@@ -198,19 +224,83 @@ def dequantize_batch(rgb, depth):
     return rgb, depth
 
 
+def augment_batch(rgb, depth, key):
+    """Device-side train augmentation at reference strength
+    (dator/config/defaults.py INPUT: flip PROB 0.5, PADDING 10 + random
+    crop, random-erasing RE_PROB 0.5). Runs inside the jitted train step on
+    the dequantized f32 batch — the host pipeline stays quantized/static.
+    Unlike the reference (which draws separate torchvision transforms for
+    the rgb and depth images), flip/crop parameters are SHARED across
+    modalities so the spatial correspondence the fusion blocks sample over
+    survives augmentation; erasing is rgb-only, matching the reference's
+    depth transform (bases.py depth path has no RandomErasing)."""
+    b, h, w, _ = rgb.shape
+    pad = 10
+    k_flip, k_dx, k_dy, k_re, k_rx, k_ry, k_rw, k_rh = jax.random.split(key, 8)
+
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+    rgb = jnp.where(flip[:, None, None, None], rgb[:, :, ::-1, :], rgb)
+    depth = jnp.where(flip[:, None, None, None], depth[:, :, ::-1, :], depth)
+
+    # pad + random crop == per-sample translation by (dy, dx) in [-10, 10];
+    # zero padding matches torchvision Pad(fill=0) on the normalized tensors
+    dy = jax.random.randint(k_dy, (b,), -pad, pad + 1)
+    dx = jax.random.randint(k_dx, (b,), -pad, pad + 1)
+
+    def translate(img, dy, dx):
+        padded = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)))
+        return jax.lax.dynamic_slice(padded, (pad + dy, pad + dx, 0),
+                                     img.shape)
+    rgb = jax.vmap(translate)(rgb, dy, dx)
+    depth = jax.vmap(translate)(depth, dy, dx)
+
+    # random erasing (rgb only): p=0.5, area in [0.02, 0.4] of the image,
+    # aspect in [0.3, 3.3] (torchvision defaults used by the reference),
+    # filled with the batch mean color
+    re_on = jax.random.bernoulli(k_re, 0.5, (b,))
+    area = jax.random.uniform(k_rw, (b,), minval=0.02, maxval=0.4) * (h * w)
+    aspect = jnp.exp(jax.random.uniform(
+        k_rh, (b,), minval=jnp.log(0.3), maxval=jnp.log(3.3)))
+    eh = jnp.clip(jnp.sqrt(area * aspect), 1, h - 1).astype(jnp.int32)
+    ew = jnp.clip(jnp.sqrt(area / aspect), 1, w - 1).astype(jnp.int32)
+    y0 = (jax.random.uniform(k_ry, (b,)) * (h - eh)).astype(jnp.int32)
+    x0 = (jax.random.uniform(k_rx, (b,)) * (w - ew)).astype(jnp.int32)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    inside = ((yy >= y0[:, None, None]) & (yy < (y0 + eh)[:, None, None])
+              & (xx >= x0[:, None, None]) & (xx < (x0 + ew)[:, None, None]))
+    mask = (inside & re_on[:, None, None])[..., None]
+    fill = jnp.mean(rgb, axis=(1, 2), keepdims=True)
+    rgb = jnp.where(mask, fill, rgb)
+    return rgb, depth
+
+
 def train_step(state: TrainState, rgb, depth, labels, rng,
                train_cfg: TrainConfig):
     """One CE+triplet step. Pure function of (state, batch, rng) — jit/pjit it
     with the shardings from `parallel.sharding.dator_shardings`. Accepts
     quantized (u8 rgb / u16 depth) batches and dequantizes on device."""
     rgb, depth = dequantize_batch(rgb, depth)
+    if train_cfg.augment:
+        aug_rng, rng = jax.random.split(jax.random.fold_in(rng, 17))
+        rgb, depth = augment_batch(rgb, depth, aug_rng)
 
     def loss_fn(params):
         out, mutated = state.apply_fn(
             params, rgb, depth, training=True, rngs={"dropout": rng},
-            mutable=["batch_stats"])
+            mutable=["batch_stats", "intermediates"])
         cls_score, feat = out[0], out[1]
         aux_scores = out[2] if len(out) > 2 else ()
+        if train_cfg.triplet_feature == "pre_bn":
+            tri_feat = mutated["intermediates"]["embedding_raw"][0]
+        elif train_cfg.triplet_feature == "post_bn_norm":
+            tri_feat = feat / (jnp.linalg.norm(feat, axis=-1,
+                                               keepdims=True) + 1e-12)
+        elif train_cfg.triplet_feature == "post_bn":
+            tri_feat = feat
+        else:
+            raise ValueError(train_cfg.triplet_feature)
+        mutated = {k: v for k, v in mutated.items() if k != "intermediates"}
         id_score = cls_score
         if train_cfg.id_loss_type != "softmax":
             # margin head: the classifier kernel doubles as the cosine
@@ -221,7 +311,7 @@ def train_step(state: TrainState, rgb, depth, labels, rng,
                 train_cfg.id_loss_type, feat, w, labels,
                 s=train_cfg.margin_scale, m=train_cfg.margin)
         total, aux = reid_loss(
-            id_score, feat, labels,
+            id_score, tri_feat, labels,
             id_weight=train_cfg.id_loss_weight,
             triplet_weight=train_cfg.triplet_weight,
             label_smoothing=train_cfg.label_smoothing)

@@ -39,3 +39,58 @@ def host_random_params(model, seed: int, *args, scale: float = 0.02,
         return v.astype(leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
+def host_train_init(model, seed: int, *args, **kwargs):
+    """Training-grade host-side init: same zero-device-compile trick as
+    `host_random_params`, but with distributions matching the initializers
+    the models actually declare, so from-scratch TRAINING can start from it
+    (host_random_params's flat N(0, 0.02) is only benchmark-grade):
+
+      * Dense/Conv "kernel"  -> lecun-normal N(0, 1/fan_in) (flax default)
+      * "bias" -> 0, LayerNorm/BatchNorm "scale" -> 1
+      * batch_stats "mean" -> 0, "var" -> 1
+      * "cls_token"/"pos_embed"/"sie_embed"/"embedding" -> N(0, 0.02)
+        (truncated_normal(0.02) in the models; plain normal is within the
+        init-noise budget)
+      * "lora_down" -> N(0, 1), "lora_up" -> 0 (adapters start as identity,
+        transreid_vit.py:73-75)
+
+    Exists because `model.init` is a remote compile over the axon tunnel
+    (minutes for the dual-ViT FourDNet) that buys nothing when the values
+    are immediately overwritten by a warm start or are plain random.
+
+    kwargs["rngs"], when given, is passed as model.init's rng dict (models
+    that make_rng extra streams — e.g. "dropout" — need it even under
+    eval_shape)."""
+    rngs = kwargs.pop("rngs", None)
+    if rngs is None:
+        rngs = jax.random.PRNGKey(seed)
+    # zero-arg closure: eval_shape would otherwise abstract python-level
+    # kwargs like training=True into tracers
+    shapes = jax.eval_shape(lambda: model.init(rngs, *args, **kwargs))
+    # sow()'d diagnostics land in an "intermediates" collection during
+    # init; they are outputs, not parameters
+    shapes = {k: v for k, v in dict(shapes).items() if k != "intermediates"}
+    rng = np.random.default_rng(seed)
+
+    def fill(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        name = names[-1] if names else ""
+        shape = leaf.shape
+        if name == "lora_down":
+            v = rng.normal(0.0, 1.0, shape)
+        elif name == "lora_up":
+            v = np.zeros(shape)
+        elif name in ("scale", "var"):
+            v = np.ones(shape)
+        elif name in ("bias", "mean") or "batch_stats" in names[:-1]:
+            v = (np.ones(shape) if name == "var" else np.zeros(shape))
+        elif name == "kernel" and len(shape) >= 2:
+            fan_in = int(np.prod(shape[:-1]))
+            v = rng.normal(0.0, np.sqrt(1.0 / max(fan_in, 1)), shape)
+        else:
+            v = rng.normal(0.0, 0.02, shape)
+        return v.astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
