@@ -167,8 +167,9 @@ def main(argv=None):
                                 cfg.data.num_instances, seed=cfg.data.seed)
         print(f"val split: {len(val_samples)} samples / "
               f"{len({s.pid for s in val_samples})} identities")
-        eval_sets = [("val", val_sampler, val_samples),
-                     ("train", sampler, samples)]
+        eval_sets = [("val", val_sampler, val_samples)]
+        if cfg.eval.train_split:
+            eval_sets.append(("train", sampler, samples))
 
     mesh = make_mesh(n_model=cfg.n_model_shards)
     print(f"mesh: {mesh.shape}")

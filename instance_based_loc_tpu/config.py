@@ -52,6 +52,10 @@ class EvalConfig:
     checkpoint_period: int = 20    # ckpt every N epochs (:119)
     re_ranking: bool = False       # TEST.RE_RANKING
     max_rank: int = 50
+    # also evaluate on the training split (memorization diagnostic). Off
+    # saves ~half of each eval point's wall time on long runs; the val
+    # split remains the model-selection signal either way
+    train_split: bool = True
 
 
 @dataclasses.dataclass
