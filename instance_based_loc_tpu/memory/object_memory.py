@@ -88,6 +88,14 @@ REG_SEEDS = _env_int("IBL_REG_SEEDS", 1)   # independent registration seeds
                                  # CPU sweep measured 0 seed failures either
                                  # way, so there is no evidence basis for
                                  # shipping redundancy on by default
+DPAD_MARGIN = _env_int("IBL_DPAD_MARGIN", 1)
+                                 # host-side detection staging cap:
+                                 # top_n + margin mask slots staged per
+                                 # query (ranked by pixel count), keeping
+                                 # d_pad at ONE power-of-2 specialization.
+                                 # -1 = stage every detection (reference
+                                 # behavior; alternates jit buckets at
+                                 # busy scenes)
 RANSAC_PAIRS_MAX = _env_int("IBL_RANSAC_PAIRS", 3)
                                  # run the FPFH+RANSAC coarse stage for
                                  # assignments with <= this many pairs; the
@@ -856,14 +864,34 @@ class ObjectMemory:
         # ~30 ms; the query's heterogeneous inputs ship as one f32 buffer
         # and all outputs come back in one — localise_frame_packed)
         with timer.stage("loc.hostpack"):
-            masks = self._pad_masks(det.masks, minimum=round_up_pow2(top_n))
+            # Host d_pad cap: only the top_n biggest detections ever reach
+            # registration (the device ranks by 3D point count,
+            # _prepare_body top_k), so staging every cascade detection just
+            # doubles the pixel-scaled prepare work AND flips d_pad across
+            # power-of-2 buckets per frame — each bucket is a fresh remote
+            # compile (the reference-scale scenes alternate 8/16,
+            # perf/e2e_cpu_decompose.py r5). Rank by pixel count on host (a
+            # proxy for point count — it can differ only through
+            # depth-invalid pixels, hence the +margin slack) and keep
+            # original relative order. IBL_DPAD_MARGIN=-1 restores
+            # stage-everything.
+            det_masks = np.asarray(det.masks)
+            if 0 <= DPAD_MARGIN and len(det_masks) > top_n + DPAD_MARGIN:
+                areas = np.count_nonzero(det_masks.reshape(
+                    len(det_masks), -1), axis=1)
+                keep = np.sort(np.argsort(-areas, kind="stable")
+                               [:top_n + DPAD_MARGIN])
+                det_masks = det_masks[keep]
+                detected_embs = detected_embs[keep]
+            n_det = len(det_masks)
+            masks = self._pad_masks(det_masks, minimum=round_up_pow2(top_n))
             d_pad = len(masks)
             h, w = depth.shape
             e_dim = detected_embs.shape[1]
             embs_pad = np.zeros((d_pad, e_dim), np.float32)
-            embs_pad[:len(det)] = detected_embs
+            embs_pad[:n_det] = detected_embs
             det_valid = np.zeros((d_pad,), np.float32)
-            det_valid[:len(det)] = 1.0
+            det_valid[:n_det] = 1.0
             # small f32 section + byte section (rgb u8, u16 depth,
             # bit-packed masks): the all-f32 layout cost ~1.7 MB/query
             # ≈ 56 ms over the tunnel; depth ships as per-frame-scaled u16

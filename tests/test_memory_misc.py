@@ -223,3 +223,42 @@ def test_masked_subsample_linear_contract(rng):
         lambda v, k: _masked_subsample_linear(v, 256, k))(
             jnp.asarray(valid), jax.random.PRNGKey(8))
     assert set(np.asarray(idx2).tolist()) != set(idx.tolist())
+
+
+def test_dpad_host_cap(monkeypatch):
+    """The host stages at most top_n + IBL_DPAD_MARGIN mask slots, ranked
+    by pixel count (one jit bucket regardless of detection count), and the
+    pose survives the cap — the dropped masks are exactly the ones the
+    device's own top-7 selection would discard."""
+    from instance_based_loc_tpu.memory import object_memory as om
+    scene = default_scene(num_objects=9, seed=3)
+    poses = ring_poses(9, radius=4.5, height=1.3, target=(0, 0.4, 0))
+    mem = ObjectMemory(
+        detector=ColorRegionDetector(min_area=40,
+                                     floor_colors=[scene.floor_color]),
+        camera_focal_lenth_x=200.0, camera_focal_lenth_y=200.0,
+        get_embeddings_func=get_embedder("color"), log_enabled=False)
+    frames = [render_scene(scene, p, 160, 220, 200.0) for p in poses]
+    for i in range(6):
+        rgb, depth, _ = frames[i]
+        mem.process_image(rgb, depth, poses[i], consider_floor=True,
+                          min_points=150, outlier_removal_config=None)
+    mem.downsample_all_objects(voxel_size=0.02)
+    mem.recluster_objects_with_dbscan(eps=0.1, min_points_per_cluster=40)
+
+    rgb, depth, _ = frames[7]
+    det = mem.detector.find(rgb, True)
+    if len(det) <= 8:
+        pytest.skip(f"scene produced only {len(det)} detections")
+
+    hh = mem._localise_host(rgb, depth, outlier_removal_config=None)
+    assert hh["dims"][2] == 8          # capped to one pow2 bucket
+
+    monkeypatch.setattr(om, "DPAD_MARGIN", -1)
+    hh_full = mem._localise_host(rgb, depth, outlier_removal_config=None)
+    assert hh_full["dims"][2] == 16    # stage-everything restores buckets
+
+    pose_cap, _ = mem.localise(rgb, depth, outlier_removal_config=None)
+    err = np.linalg.norm(np.asarray(pose_cap[:3])
+                         - np.asarray(poses[7][:3]))
+    assert err < 0.6, f"capped staging broke localisation ({err:.3f} m)"
