@@ -37,8 +37,18 @@ def build_dator_embedder(checkpoint_path: str | None = None,
     model = FourDNet(cfg)
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
-    params = model.init({"params": rng, "dropout": rng}, dummy, dummy,
-                        training=False)
+
+    def _template(model):
+        # model.init is a fresh REMOTE compile over the axon tunnel
+        # (minutes at dual-ViT-B scale — the r3 cascade cold-start lesson,
+        # models/init_utils.py); the template values are overwritten by the
+        # checkpoint load (or are benchmark-grade randoms), so host-side
+        # synthesis is always sufficient here
+        from ..init_utils import host_train_init
+        return host_train_init(model, 0, dummy, dummy, training=False,
+                               rngs={"params": rng, "dropout": rng})
+
+    params = _template(model)
     if checkpoint_path is not None and checkpoint_path.endswith(".npz"):
         # flat params-only npz (train.save_params_npz) — the committed
         # cross-round checkpoint format. Adopt the npz's head geometry
@@ -52,8 +62,7 @@ def build_dator_embedder(checkpoint_path: str | None = None,
                 if n_cls != cfg.num_classes:
                     cfg = dataclasses.replace(cfg, num_classes=n_cls)
                     model = FourDNet(cfg)
-                    params = model.init({"params": rng, "dropout": rng},
-                                        dummy, dummy, training=False)
+                    params = _template(model)
                 break
         # strict=False: pre-BNNeck npz checkpoints lack the bottleneck
         # params; fresh init there is identity BN (mean 0 / var 1 / scale 1)
