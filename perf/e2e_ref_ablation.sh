@@ -24,6 +24,7 @@ run() {
 }
 
 run baseline IBL_NOOP=1
+run linear_subsample IBL_LINEAR_SUBSAMPLE=1
 run hyp256 IBL_NUM_HYP=256
 run icp_min IBL_ICP_COARSE=6 IBL_ICP_FINE=8
 run eval1024 IBL_EVAL_CAP=1024

@@ -148,3 +148,38 @@ def test_train_step_with_margin_head_and_center(rng):
     # (unit-scale post-BN triplet distances), so compare past the
     # transient: the tail must be below the early-window mean
     assert np.mean(losses[-2:]) < np.mean(losses[:4]), losses
+
+
+def test_augment_batch_semantics(rng):
+    """Device-side augmentation contract: flips/crops are shared across
+    modalities (spatial correspondence survives), erasing touches rgb only,
+    shapes/dtypes unchanged, and augmentation actually perturbs the batch."""
+    import jax
+    from instance_based_loc_tpu.models.dator.train import augment_batch
+
+    b, h, w = 8, 64, 32
+    rgb = jnp.asarray(rng.normal(size=(b, h, w, 3)).astype(np.float32))
+    # depth copies rgb's first channel so shared spatial transforms are
+    # directly checkable pixel-for-pixel
+    depth = jnp.repeat(rgb[..., :1], 3, axis=-1)
+    out_rgb, out_depth = augment_batch(rgb, depth, jax.random.PRNGKey(3))
+    assert out_rgb.shape == rgb.shape and out_depth.shape == depth.shape
+
+    # not a no-op
+    assert not np.allclose(np.asarray(out_rgb), np.asarray(rgb))
+
+    # shared flip/translate: wherever rgb was NOT erased, channel 0 of rgb
+    # equals channel 0 of depth (erasing is rgb-only, so equality holds on
+    # the non-erased mask; the erased rect differs)
+    r0 = np.asarray(out_rgb[..., 0])
+    d0 = np.asarray(out_depth[..., 0])
+    same = np.isclose(r0, d0, atol=1e-6)
+    frac_same = same.mean(axis=(1, 2))
+    # every sample keeps most pixels aligned (erase rect <= 40% area)
+    assert (frac_same >= 0.55).all(), frac_same
+    # at least one sample was erased somewhere (p=0.5 over 8 samples)
+    assert (frac_same < 1.0).any()
+
+    # determinism under the same key
+    out2_rgb, out2_depth = augment_batch(rgb, depth, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out_rgb), np.asarray(out2_rgb))
