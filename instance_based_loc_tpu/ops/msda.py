@@ -138,6 +138,14 @@ def _level_gather(vmap_l, loc, attn_w, hh: int, ww: int):
     yi, xi, wts = _tap_index_weights_bcast(loc, hh, ww)
     hidx = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]   # (1,H,1,1)
     lin = (yi * ww + xi) * h + hidx                              # (Q,H,K,4)
+    # NOTE (r5 negative result): materializing `lin` with an
+    # optimization_barrier before the gather — on the theory that the
+    # fused tap arithmetic was halving the gather's issue rate vs the
+    # 4.46 ms standalone probe — left the 9.14 ms/layer gather fusion
+    # byte-identical in the trace and added a 2 ms reshape
+    # (perf/gdino_trace.py r5, /tmp/trace_gdino_r5b). The in-model gather
+    # IS at its floor; the probe's lower number comes from its scan
+    # harness overlapping iterations, not from index precomputation.
     gathered = jnp.take(flat, lin.reshape(-1), axis=0)
     gathered = gathered.reshape(q, h, k, 4, d)
     # ONE fused pass: fold the bilinear tap weights and the attention
